@@ -1,0 +1,345 @@
+"""Graph -> token-sequence tokenizers (vectorised, array-native).
+
+Re-implements the reference's GSTTokenizer / StackedGSTTokenizer
+(src/data/tokenizer.py:30-620, 897-1186) with numpy array pipelines instead
+of per-token Python string manipulation: the Euler walk, node re-indexing,
+attribute lookup and stacking are all vectorised, emitting int32 id arrays
+directly. Token *strings* only exist in the vocab file.
+
+StackedGST "short" row layout (the headline configuration, stacked_feat =
+1 + node_dim + edge_dim; reference stack_node_edge_graph_attr_to_node,
+tokenizer.py:1196-1266):
+
+    [ node_idx_token | node_attr_0..node_attr_{Dn-1} | edge_attr_0..edge_attr_{De-1} ]
+
+where position 0 and jump edges carry the *default* (column-identifier-only)
+edge-attr tokens (tokenizer.py:1362-1386).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..config import TokenizationConfig
+from . import euler
+from .graph import Graph
+from .vocab import LABEL_PAD_ID
+
+PAD_ID = 0
+
+
+class AttrColumnLookup:
+    """Vectorised attr value -> token id per column via searchsorted."""
+
+    def __init__(self, vocab_map: Dict[str, int], world: str, neg: str, dim: int, share_vocab: bool = False):
+        self.dim = dim
+        self.default_ids = np.zeros(dim, np.int32)
+        self._vals: List[np.ndarray] = []
+        self._ids: List[np.ndarray] = []
+        for col in range(dim):
+            col_id = -1 if share_vocab else col
+            prefix = f"{world}#{neg}#{col_id}#"
+            self.default_ids[col] = vocab_map.get(f"{world}#{neg}#{col_id}", 0)
+            pairs = sorted(
+                (int(tok[len(prefix):]), tid)
+                for tok, tid in vocab_map.items()
+                if tok.startswith(prefix) and tok[len(prefix):].lstrip("-").isdigit()
+            )
+            self._vals.append(np.asarray([p[0] for p in pairs], np.int64))
+            self._ids.append(np.asarray([p[1] for p in pairs], np.int32))
+
+    def __call__(self, attr: np.ndarray) -> np.ndarray:
+        """attr [*, dim] int -> token ids [*, dim]."""
+        out = np.empty(attr.shape, np.int32)
+        for col in range(self.dim):
+            vals, ids = self._vals[col], self._ids[col]
+            pos = np.searchsorted(vals, attr[..., col])
+            pos_c = np.clip(pos, 0, max(len(vals) - 1, 0))
+            if len(vals) == 0 or not np.all(vals[pos_c] == attr[..., col]):
+                bad = attr[..., col][(len(vals) == 0) | (vals[pos_c] != attr[..., col])] if len(vals) else attr[..., col]
+                raise KeyError(f"attr value(s) {np.unique(bad)[:5]} not in vocab column {col}")
+            out[..., col] = ids[pos_c]
+        return out
+
+
+@dataclass
+class TokenizedSample:
+    """Per-sample tokenizer output (pre-padding), all numpy."""
+
+    input_ids: np.ndarray  # [P, F] int32 (stacked) or [P] (flat)
+    labels: np.ndarray  # same shape, LABEL_PAD_ID where unsupervised
+    position_ids: np.ndarray  # [P] int32
+    attention_mask: np.ndarray  # [P] int8, all ones pre-padding
+    wgt: Optional[float] = None  # dLM loss weight
+    graph_labels: Optional[np.ndarray] = None
+    node_labels: Optional[np.ndarray] = None
+    edge_labels: Optional[np.ndarray] = None
+    segment_lengths: Optional[List[int]] = None  # for packing
+    extras: Dict[str, np.ndarray] = field(default_factory=dict)
+
+    @property
+    def seq_len(self) -> int:
+        return int(self.input_ids.shape[0])
+
+
+class StackedGSTTokenizer:
+    """Stacked graph-sequence tokenizer ("short" stacking).
+
+    Reference: src/data/tokenizer.py:897-1186. Output per graph is an
+    [P, stacked_feat] id matrix where P = Euler walk length (+1 eos row).
+    """
+
+    def __init__(
+        self,
+        cfg: TokenizationConfig,
+        vocab_map: Dict[str, int],
+        task_type: str = "pretrain-mlm",
+        mlm_cfg=None,
+    ):
+        assert cfg.stack_method == "short", "long stacking: see StackedGSTTokenizerLong"
+        assert cfg.structure.edge.remove_edge_type_token, (
+            "stacked short rows assume the <edge_bi> token is elided "
+            "(reference tokenizer.py:1062-1065)"
+        )
+        self.cfg = cfg
+        self.vocab_map = vocab_map
+        self.task_type = task_type
+        self.mlm_cfg = mlm_cfg
+        self.vocab_size = max(vocab_map.values()) + 1
+        s = cfg.structure
+        node_cfg = s.node
+        assert node_cfg.scope_base == node_cfg.node_scope, (
+            "stacked tokenizer uses single-token node ids; two-level ids are "
+            "a GSTTokenizer (non-stacked) feature"
+        )
+        self.scope = node_cfg.node_scope
+        self.cyclic = int(node_cfg.cyclic)
+        self.eos_id = vocab_map[node_cfg.eos_token]
+        self.bos_id = vocab_map[node_cfg.bos_token]
+        self.mask_id = vocab_map[s.mask_token]
+        self.gsum_id = vocab_map.get(s.summary_token, 0)
+        self.new_node_id = vocab_map.get(node_cfg.new_node_token, LABEL_PAD_ID)
+        # structural node-idx token ids: str(i) for i in [0, scope)
+        self.node_idx_ids = np.asarray(
+            [vocab_map[str(i)] for i in range(node_cfg.scope_base)], np.int32
+        )
+        sem = cfg.semantics
+        world = cfg.attr_world_identifier
+        self.node_dim = sem.node.dim if sem.node.discrete else 0
+        self.edge_dim = sem.edge.dim if sem.edge.discrete else 0
+        self.node_lookup = (
+            AttrColumnLookup(vocab_map, world, "node", self.node_dim, sem.node.share_vocab)
+            if self.node_dim
+            else None
+        )
+        self.edge_lookup = (
+            AttrColumnLookup(vocab_map, world, "edge", self.edge_dim, sem.edge.share_vocab)
+            if self.edge_dim
+            else None
+        )
+        self.node_attr_field = sem.node.discrete
+        self.edge_attr_field = sem.edge.discrete
+        self.stacked_feat = 1 + self.node_dim + self.edge_dim
+
+    # ------------------------------------------------------------------
+    def tokenize(
+        self, graph: Graph, rng: np.random.Generator
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """graph -> (input_ids [P,F] incl. trailing eos row, walk, ranks).
+
+        The trailing row is the eos row ([eos]*F): the reference reaches the
+        same state by appending labels[-1:] in the mlm preparer
+        (tokenizer_utils.py:230) or add_eos in tokenize.
+        """
+        walk = euler.graph_to_walk(graph, rng)  # [P0]
+        ranks = euler.walk_node_ranks(walk, self.scope, self.cyclic, rng)
+        p0 = len(walk)
+        f = self.stacked_feat
+        ids = np.empty((p0 + 1, f), np.int32)
+        ids[:p0, 0] = self.node_idx_ids[ranks]
+        col = 1
+        if self.node_dim:
+            ids[:p0, col : col + self.node_dim] = self.node_lookup(
+                getattr(graph, "node_attr")[walk]
+            )
+            col += self.node_dim
+        if self.edge_dim:
+            erows = euler.walk_edge_attr_rows(graph, walk)  # [P0-1]
+            eattr = np.empty((p0, self.edge_dim), np.int32)
+            eattr[0] = self.edge_lookup.default_ids
+            if p0 > 1:
+                real = erows >= 0
+                vals = np.where(real[:, None], graph.edge_attr[np.maximum(erows, 0)], 0)
+                looked = self.edge_lookup(vals)
+                eattr[1:] = np.where(
+                    real[:, None], looked, self.edge_lookup.default_ids[None, :]
+                )
+            ids[:p0, col : col + self.edge_dim] = eattr
+        ids[p0] = self.eos_id  # eos row
+        return ids, walk, ranks
+
+    def target_token_ids(self, graph: Graph, walk: np.ndarray, ranks: np.ndarray):
+        """Structural idx token ids for root_n_id (node / edge tasks)."""
+        if graph.root_n_id is None:
+            return None
+        root = np.atleast_1d(np.asarray(graph.root_n_id))
+        out = []
+        for r in root:
+            pos = np.flatnonzero(walk == r)
+            assert len(pos) > 0, "target node must appear on the Euler walk"
+            out.append(int(self.node_idx_ids[ranks[pos[0]]]))
+        return out
+
+    def _row_for_node_token(self, ids: np.ndarray, tok_id: int) -> np.ndarray:
+        """Full stacked row whose structural slot equals tok_id, with default
+        edge-attrs substituted (reference tokenizer_utils.py:591-611)."""
+        pos = np.flatnonzero(ids[:, 0] == tok_id)
+        row = ids[pos[0]].copy()
+        if self.edge_dim:
+            row[-self.edge_dim :] = self.edge_lookup.default_ids
+        return row
+
+    # ------------------------------------------------------------------
+    def __call__(self, graph: Graph, rng: np.random.Generator) -> TokenizedSample:
+        ids, walk, ranks = self.tokenize(graph, rng)
+        p = ids.shape[0]
+        position_ids = np.arange(p, dtype=np.int32)
+        attention_mask = np.ones(p, np.int8)
+        task = self.task_type
+        if task in ("pretrain-mlm", "pretrain-cl"):
+            alpha_t, wgt = _polynomial_mask_ratio(self.mlm_cfg, rng)
+            masked, labels = smtp_mask_stacked(
+                ids,
+                self.mask_id,
+                alpha_t,
+                rng,
+                mtp=tuple(self.mlm_cfg.mtp),
+                vocab_size=self.vocab_size,
+            )
+            return TokenizedSample(
+                input_ids=masked,
+                labels=labels,
+                position_ids=position_ids,
+                attention_mask=attention_mask,
+                wgt=float(wgt) if self.mlm_cfg.dlm_wgt else None,
+                segment_lengths=[p],
+            )
+        if task in ("pretrain", "pretrain-smtp"):
+            # NTP labels: next row; SMTP-inside masks on device.
+            labels = np.concatenate([ids[1:], np.full((1, ids.shape[1]), self.eos_id, np.int32)])
+            return TokenizedSample(
+                input_ids=ids,
+                labels=labels,
+                position_ids=position_ids,
+                attention_mask=attention_mask,
+                segment_lengths=[p],
+            )
+        if task == "graph":
+            labels = np.full_like(ids, LABEL_PAD_ID)
+            y = np.asarray(graph.y, np.float32).reshape(-1)
+            return TokenizedSample(
+                input_ids=ids,
+                labels=labels,
+                position_ids=position_ids,
+                attention_mask=attention_mask,
+                graph_labels=y,
+                segment_lengths=[p],
+            )
+        if task == "edge":
+            # append src/dst stacked rows (shuffled) after eos
+            # (reference prepare_inputs_for_edge_lvl_task, tokenizer_utils.py:570-633)
+            tgt = self.target_token_ids(graph, walk, ranks)
+            assert tgt is not None and len(tgt) == 2
+            if rng.random() < 0.5:
+                tgt = tgt[::-1]
+            rows = np.stack([self._row_for_node_token(ids, t) for t in tgt])
+            ids2 = np.concatenate([ids, rows], axis=0)
+            p2 = ids2.shape[0]
+            labels = np.full_like(ids2, LABEL_PAD_ID)
+            return TokenizedSample(
+                input_ids=ids2,
+                labels=labels,
+                position_ids=np.arange(p2, dtype=np.int32),
+                attention_mask=np.ones(p2, np.int8),
+                edge_labels=np.asarray(graph.y, np.float32).reshape(-1),
+                wgt=graph.wgt,
+                segment_lengths=[p2],
+            )
+        if task == "node":
+            tgt = self.target_token_ids(graph, walk, ranks)
+            assert tgt is not None and len(tgt) == 1
+            rows = np.stack([self._row_for_node_token(ids, t) for t in tgt])
+            ids2 = np.concatenate([ids, rows], axis=0)
+            p2 = ids2.shape[0]
+            labels = np.full_like(ids2, LABEL_PAD_ID)
+            y = np.asarray(graph.y).reshape(graph.num_nodes, -1)[np.asarray(graph.root_n_id).reshape(-1)[0]]
+            return TokenizedSample(
+                input_ids=ids2,
+                labels=labels,
+                position_ids=np.arange(p2, dtype=np.int32),
+                attention_mask=np.ones(p2, np.int8),
+                node_labels=np.asarray(y, np.float32).reshape(-1),
+                wgt=graph.wgt,
+                segment_lengths=[p2],
+            )
+        raise NotImplementedError(f"task_type {task!r}")
+
+
+def _polynomial_mask_ratio(mlm_cfg, rng: np.random.Generator) -> Tuple[float, float]:
+    """Draw (alpha_t, dlm_wgt) from the SMTP schedule
+    (reference tokenizer_utils.py:254-277)."""
+    import math
+
+    name = mlm_cfg.name
+    if name == "fixed":
+        return float(mlm_cfg.fixed_ratio), 1.0
+    if name == "polynomial":
+        power = float(mlm_cfg.power)
+        umr_min, umr_max = mlm_cfg.umr_clip
+        t = umr_min + (umr_max - umr_min) * float(rng.random())
+        alpha_t = 1.0 - t**power
+        wgt = power / t
+        return alpha_t, wgt
+    # cosine
+    alpha_t = math.cos(float(rng.random()) * math.pi) * 0.5 + 0.5
+    return alpha_t, 1.0
+
+
+def smtp_mask_stacked(
+    input_ids: np.ndarray,
+    mask_token_id: int,
+    alpha_t: float,
+    rng: np.random.Generator,
+    mtp: Tuple[float, float, float] = (1.0, 0.0, 0.0),
+    vocab_size: int = 0,
+    pad_token_id: int = PAD_ID,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Global element-wise SMTP masking over the [P, F] grid.
+
+    Reference `_mask_stacked_input_ids_v2` (tokenizer_utils.py:112-148):
+    exactly ceil(P*F*alpha) cells are chosen without replacement; chosen
+    cells become labels; non-pad chosen cells are replaced by [mask] /
+    random / kept per the mtp split.
+    """
+    p, f = input_ids.shape
+    total = p * f
+    k = int(np.ceil(total * alpha_t))
+    flat = input_ids.reshape(-1)
+    chosen = rng.choice(total, size=min(k, total), replace=False)
+    labels = np.full(total, LABEL_PAD_ID, np.int32)
+    labels[chosen] = flat[chosen]
+    new_flat = flat.copy()
+    maskable = chosen[flat[chosen] != pad_token_id]
+    r_mask, r_rand, _ = mtp
+    if r_rand > 0:
+        u = rng.random(len(maskable))
+        to_mask = maskable[u < r_mask]
+        to_rand = maskable[(u >= r_mask) & (u < r_mask + r_rand)]
+        new_flat[to_mask] = mask_token_id
+        new_flat[to_rand] = rng.integers(1, vocab_size, size=len(to_rand))
+    else:
+        new_flat[maskable] = mask_token_id
+    return new_flat.reshape(p, f), labels.reshape(p, f)

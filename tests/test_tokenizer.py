@@ -1,0 +1,177 @@
+"""StackedGST tokenizer, vocab, SMTP masking, collation."""
+
+import numpy as np
+import pytest
+
+from graphgpt_tpu.config import Config, TokenizationConfig
+from graphgpt_tpu.data import vocab as vocab_mod
+from graphgpt_tpu.data.collator import collate, pack_samples
+from graphgpt_tpu.data.datasets import (
+    MOL_EDGE_CARD,
+    MOL_NODE_CARD,
+    SyntheticMolDataset,
+)
+from graphgpt_tpu.data.tokenizer import (
+    PAD_ID,
+    StackedGSTTokenizer,
+    smtp_mask_stacked,
+)
+from graphgpt_tpu.data.vocab import LABEL_PAD_ID
+
+
+def make_tok_cfg():
+    cfg = TokenizationConfig()
+    cfg.semantics.node.discrete = "node_attr"
+    cfg.semantics.node.dim = 9
+    cfg.semantics.edge.discrete = "edge_attr"
+    cfg.semantics.edge.dim = 3
+    return cfg
+
+
+def make_vocab(cfg):
+    node_vals = [np.arange(c) for c in MOL_NODE_CARD]
+    edge_vals = [np.arange(c) for c in MOL_EDGE_CARD]
+    vocab = vocab_mod.build_vocab(cfg, node_vals, edge_vals)
+    return vocab_mod.vocab_map_from_list(vocab)
+
+
+@pytest.fixture(scope="module")
+def tokenizer():
+    cfg = make_tok_cfg()
+    vm = make_vocab(cfg)
+    from graphgpt_tpu.config import MlmScheduleConfig
+
+    return StackedGSTTokenizer(cfg, vm, task_type="pretrain-mlm", mlm_cfg=MlmScheduleConfig())
+
+
+def test_vocab_roundtrip(tmp_path):
+    cfg = make_tok_cfg()
+    vocab = vocab_mod.build_vocab(
+        cfg, [np.arange(c) for c in MOL_NODE_CARD], [np.arange(c) for c in MOL_EDGE_CARD]
+    )
+    fn = str(tmp_path / "vocab")
+    vocab_mod.save_vocab(vocab, fn)
+    loaded = vocab_mod.load_vocab(fn)
+    assert loaded["<label_pad>"] == -100
+    assert min(v for v in loaded.values() if v > 0) == 1
+    assert len(loaded) == len(vocab) + 1
+    # ids are contiguous 1..n
+    assert max(loaded.values()) == len(vocab)
+
+
+def test_vocab_contains_expected_tokens():
+    cfg = make_tok_cfg()
+    vm = make_vocab(cfg)
+    for tok in ("<eos>", "<bos>", "<mask>", "<gsum>", "<edge_jump>", "0", "511",
+                "molecule#node#0", "molecule#node#0#118", "molecule#edge#2#1"):
+        assert tok in vm, tok
+
+
+def test_tokenize_shapes(tokenizer):
+    ds = SyntheticMolDataset(10, seed=1)
+    rng = np.random.default_rng(0)
+    for i in range(10):
+        g = ds[i]
+        ids, walk, ranks = tokenizer.tokenize(g, rng)
+        assert ids.shape[1] == 13  # 1 + 9 + 3
+        assert ids.shape[0] == len(walk) + 1
+        assert (ids[-1] == tokenizer.eos_id).all()
+        assert (ids > 0).all()  # no pads inside a sample
+        # structural slot holds node-idx tokens
+        assert set(ids[:-1, 0]) <= set(tokenizer.node_idx_ids.tolist())
+
+
+def test_tokenize_node_attrs_consistent(tokenizer):
+    """Same raw node => same node-attr token columns at every visit."""
+    ds = SyntheticMolDataset(5, seed=2)
+    rng = np.random.default_rng(0)
+    g = ds[0]
+    ids, walk, ranks = tokenizer.tokenize(g, rng)
+    for node in set(walk.tolist()):
+        rows = ids[:-1][walk == node][:, 1:10]
+        assert (rows == rows[0]).all()
+
+
+def test_smtp_mask_counts():
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, 100, size=(64, 13)).astype(np.int32)
+    masked, labels = smtp_mask_stacked(ids, mask_token_id=1, alpha_t=0.25, rng=rng)
+    n_sel = (labels != LABEL_PAD_ID).sum()
+    assert n_sel == int(np.ceil(64 * 13 * 0.25))
+    # masked positions replaced by the mask token
+    sel = labels != LABEL_PAD_ID
+    assert (masked[sel] == 1).all()
+    assert (masked[~sel] == ids[~sel]).all()
+    # labels hold original ids at selected cells
+    assert (labels[sel] == ids[sel]).all()
+
+
+def test_call_pretrain_mlm(tokenizer):
+    ds = SyntheticMolDataset(4, seed=3)
+    rng = np.random.default_rng(0)
+    s = tokenizer(ds[0], rng)
+    assert s.input_ids.shape == s.labels.shape
+    assert s.wgt is not None and s.wgt > 0
+    assert s.position_ids.tolist() == list(range(s.seq_len))
+    assert (s.labels != LABEL_PAD_ID).sum() > 0
+
+
+def test_collate_padding(tokenizer):
+    ds = SyntheticMolDataset(8, seed=4)
+    rng = np.random.default_rng(0)
+    samples = [tokenizer(ds[i], rng) for i in range(8)]
+    batch = collate(samples, mpe=1024, bucket=8)
+    p = batch["input_ids"].shape[1]
+    assert p % 8 == 0
+    assert batch["input_ids"].shape == (8, p, 13)
+    # padding rows are PAD_ID / -100 / mask 0
+    for i, s in enumerate(samples):
+        assert (batch["input_ids"][i, s.seq_len :] == PAD_ID).all()
+        assert (batch["labels"][i, s.seq_len :] == LABEL_PAD_ID).all()
+        assert (batch["attention_mask"][i, s.seq_len :] == 0).all()
+        assert (batch["segment_ids"][i, s.seq_len :] == 0).all()
+        assert (batch["segment_ids"][i, : s.seq_len] == 1).all()
+
+
+def test_packing(tokenizer):
+    ds = SyntheticMolDataset(64, seed=5)
+    rng = np.random.default_rng(0)
+    samples = (tokenizer(ds[i], rng) for i in range(64))
+    packed = list(pack_samples(samples, mpe=256))
+    assert all(p.seq_len <= 256 for p in packed)
+    # most rows should be well-filled
+    fills = [p.seq_len / 256 for p in packed[:-1]]
+    assert np.mean(fills) > 0.7
+    batch = collate(packed[:4], mpe=256, bucket=8)
+    segs = batch["segment_ids"]
+    assert segs.max() > 1  # multiple segments per row
+    # segment ids are non-decreasing within a row
+    for row in segs:
+        nz = row[row > 0]
+        assert (np.diff(nz) >= 0).all()
+
+
+def test_graph_task(tokenizer_graph=None):
+    cfg = make_tok_cfg()
+    vm = make_vocab(cfg)
+    tok = StackedGSTTokenizer(cfg, vm, task_type="graph")
+    ds = SyntheticMolDataset(4, seed=6)
+    s = tok(ds[0], np.random.default_rng(0))
+    assert s.graph_labels is not None and s.graph_labels.shape == (1,)
+    assert (s.labels == LABEL_PAD_ID).all()
+
+
+def test_node_task():
+    cfg = make_tok_cfg()
+    vm = make_vocab(cfg)
+    tok = StackedGSTTokenizer(cfg, vm, task_type="node")
+    ds = SyntheticMolDataset(4, seed=7)
+    g = ds[0]
+    g.root_n_id = np.asarray([2])
+    g.y = np.zeros((g.num_nodes, 1), np.int64)
+    g.y[2] = 3
+    s = tok(g, np.random.default_rng(0))
+    assert s.node_labels.tolist() == [3.0]
+    # final row is the target-node row with default edge attrs
+    assert s.input_ids[-1, 0] in tok.node_idx_ids
+    assert (s.input_ids[-1, -3:] == tok.edge_lookup.default_ids).all()
