@@ -1,0 +1,258 @@
+"""Llama-semantics transformer backbone, pure-functional JAX.
+
+Re-designs the reference's HF-Llama backbone + GraphGPT customizations
+(src/models/graphgpt/utils_graphgpt.py:83-193, modeling_common.py:105-142)
+TPU-first:
+
+  - params are a plain pytree; per-layer weights are stacked on a leading
+    axis and the decoder runs under `jax.lax.scan` (O(1) compile time in
+    depth, pjit-friendly);
+  - bf16 activations / fp32 norms+softmax; params stay fp32 master copies;
+  - attention mask structure comes from `segment_ids` inside the attention
+    kernel — no host-side 4D masks;
+  - DropPath (stochastic depth, linearly increasing per layer,
+    utils_graphgpt.py:184-191), LayerScale (utils_graphgpt.py:93-105), and
+    the stacked-feature embedding aggregation (sum | gated einsum,
+    modeling_common.py:105-142) are all first-class.
+
+Matches reference numerics: RMSNorm eps 1e-6, RoPE theta 1e4, gate/up/down
+MLP with exact gelu by default, head_dim 64.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..ops.attention import attention
+from .rope import apply_rope, reset_position_ids, rope_cos_sin
+
+Params = Dict[str, Any]
+
+
+def _dtype(cfg: ModelConfig):
+    return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+def _normal(key, shape, std):
+    return (jax.random.normal(key, shape) * std).astype(jnp.float32)
+
+
+def init_backbone_params(cfg: ModelConfig, key: jax.Array) -> Params:
+    cfg = cfg
+    d = cfg.hidden_size
+    l = cfg.num_hidden_layers
+    h, hkv, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    i = cfg.intermediate_size
+    std = cfg.initializer_range
+    keys = jax.random.split(key, 16)
+    params: Params = {
+        "embed_tokens": _normal(keys[0], (cfg.vocab_size, d), std),
+        "final_norm": jnp.ones((d,), jnp.float32),
+        "layers": {
+            "attn_norm": jnp.ones((l, d), jnp.float32),
+            "q": _normal(keys[1], (l, d, h * dh), std),
+            "k": _normal(keys[2], (l, d, hkv * dh), std),
+            "v": _normal(keys[3], (l, d, hkv * dh), std),
+            "o": _normal(keys[4], (l, h * dh, d), std),
+            "mlp_norm": jnp.ones((l, d), jnp.float32),
+            "gate": _normal(keys[5], (l, d, i), std),
+            "up": _normal(keys[6], (l, d, i), std),
+            "down": _normal(keys[7], (l, i, d), std),
+        },
+    }
+    if cfg.layer_scale_init_value > 0:
+        params["layers"]["ls1"] = jnp.full((l, d), cfg.layer_scale_init_value, jnp.float32)
+        params["layers"]["ls2"] = jnp.full((l, d), cfg.layer_scale_init_value, jnp.float32)
+    if cfg.stacked_feat_agg_method == "gated" and cfg.stacked_feat > 1:
+        # kaiming-uniform bound 1/sqrt(fan_in) (reference
+        # StackedFeatAggregation.reset_parameters, modeling_common.py:117-125)
+        bound = 1.0 / (cfg.hidden_size**0.5)
+        params["stacked_agg_w"] = jax.random.uniform(
+            keys[8], (cfg.stacked_feat, d), jnp.float32, -bound, bound
+        )
+    if cfg.embed_dim > 0:
+        params["embed_layernorm"] = jnp.ones((cfg.embed_dim,), jnp.float32)
+        params["embed_proj"] = _normal(keys[9], (cfg.embed_dim, d), std)
+        params["emb_mask_token"] = _normal(keys[10], (cfg.embed_dim,), std)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Primitives
+# ---------------------------------------------------------------------------
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    normed = x32 * jax.lax.rsqrt(var + eps)
+    return (normed * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def _act(name: str):
+    if name == "gelu":
+        return lambda x: jax.nn.gelu(x, approximate=False)
+    if name == "gelu_new" or name == "gelu_pytorch_tanh":
+        return lambda x: jax.nn.gelu(x, approximate=True)
+    if name == "silu":
+        return jax.nn.silu
+    raise ValueError(f"unknown hidden_act {name!r}")
+
+
+def _dropout(x, rate: float, rng, train: bool):
+    if not train or rate <= 0.0 or rng is None:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+
+
+def _drop_path(x, rate, rng, train: bool):
+    """Per-sample stochastic depth; rate may be a traced scalar."""
+    if not train or rng is None:
+        return x
+    keep_prob = 1.0 - rate
+    keep = jax.random.bernoulli(rng, keep_prob, (x.shape[0], 1, 1))
+    return jnp.where(keep, x / keep_prob, 0.0).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Embedding path
+# ---------------------------------------------------------------------------
+def embed_inputs(
+    params: Params,
+    cfg: ModelConfig,
+    input_ids: jnp.ndarray,  # [B, P] or [B, P, F]
+    rng: Optional[jax.Array] = None,
+    train: bool = False,
+) -> jnp.ndarray:
+    dt = _dtype(cfg)
+    table = params["embed_tokens"].astype(dt)
+    emb = table[input_ids]  # [B,P,D] or [B,P,F,D]
+    emb = _dropout(emb, cfg.embed_dropout, rng, train)
+    if input_ids.ndim == 3:
+        if cfg.stacked_feat_agg_method == "gated":
+            w = params["stacked_agg_w"].astype(dt)
+            emb = jnp.einsum("bsfd,fd->bsd", emb, w, preferred_element_type=jnp.float32).astype(dt)
+        else:
+            emb = jnp.sum(emb, axis=-2)
+        if cfg.stack_method == "long":
+            nonzero = (input_ids != 0).sum(axis=-1, keepdims=True) + 1e-7
+            ratio = jnp.clip(1.0 / nonzero.astype(dt), a_max=1.0)
+            emb = emb * ratio
+    return emb
+
+
+def add_raw_embeds(
+    params: Params,
+    cfg: ModelConfig,
+    inputs_embeds: jnp.ndarray,
+    raw_embeds: jnp.ndarray,  # [B, P, embed_dim]
+    embed_is_masked: Optional[jnp.ndarray] = None,  # [B, P] bool; True -> use mask token
+    rng=None,
+    train: bool = False,
+) -> jnp.ndarray:
+    """Raw float-feature branch: mask-token substitution -> RMSNorm ->
+    dropout -> linear proj -> add (reference prepare_inputs_embeds,
+    modeling_pretrain.py:119-150)."""
+    dt = inputs_embeds.dtype
+    x = raw_embeds.astype(dt)
+    if embed_is_masked is not None:
+        mask_tok = params["emb_mask_token"].astype(dt)
+        x = jnp.where(embed_is_masked[..., None], mask_tok[None, None, :], x)
+    x = rms_norm(x, params["embed_layernorm"], cfg.rms_norm_eps)
+    x = _dropout(x, cfg.embed_dropout, rng, train)
+    x = x @ params["embed_proj"].astype(dt)
+    return inputs_embeds + x
+
+
+# ---------------------------------------------------------------------------
+# Decoder stack (scan over layers)
+# ---------------------------------------------------------------------------
+def backbone_apply(
+    params: Params,
+    cfg: ModelConfig,
+    inputs_embeds: jnp.ndarray,  # [B, P, D]
+    position_ids: jnp.ndarray,  # [B, P]
+    segment_ids: jnp.ndarray,  # [B, P]
+    rng: Optional[jax.Array] = None,
+    train: bool = False,
+) -> jnp.ndarray:
+    dt = _dtype(cfg)
+    x = inputs_embeds.astype(dt)
+    b, p, d = x.shape
+    h, hkv, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    position_ids = reset_position_ids(position_ids, cfg.rope_range, cfg.max_position_embeddings)
+    cos, sin = rope_cos_sin(position_ids, dh, cfg.rope_theta, dtype=jnp.float32)
+    n_layers = cfg.num_hidden_layers
+    # linearly increasing stochastic-depth rate (utils_graphgpt.py:184-191)
+    dp_rates = (
+        jnp.linspace(0.0, cfg.path_dropout, n_layers)
+        if cfg.path_dropout > 0
+        else jnp.zeros(n_layers)
+    )
+    layer_idx = jnp.arange(n_layers)
+    use_ls = "ls1" in params["layers"]
+
+    def layer_fn(carry, scanned):
+        x = carry
+        lp, dp_rate, idx = scanned
+        if rng is not None:
+            lrng = jax.random.fold_in(rng, idx)
+            r_attn, r_mlp, r_dp1, r_dp2, r_adrop = jax.random.split(lrng, 5)
+        else:
+            r_attn = r_mlp = r_dp1 = r_dp2 = r_adrop = None
+        # --- attention block
+        hpre = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
+        q = (hpre @ lp["q"].astype(dt)).reshape(b, p, h, dh)
+        k = (hpre @ lp["k"].astype(dt)).reshape(b, p, hkv, dh)
+        v = (hpre @ lp["v"].astype(dt)).reshape(b, p, hkv, dh)
+        q, k = apply_rope(q, k, cos, sin)
+        attn_out = attention(
+            q, k, v, segment_ids, causal=cfg.causal_attention, impl=cfg.attn_impl
+        )
+        attn_out = attn_out.reshape(b, p, h * dh) @ lp["o"].astype(dt)
+        attn_out = _dropout(attn_out, cfg.attention_dropout, r_adrop, train)
+        if use_ls:
+            attn_out = attn_out * lp["ls1"].astype(dt)
+        x = x + _drop_path(attn_out, dp_rate, r_dp1, train)
+        # --- MLP block
+        hpre = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
+        gate = _act(cfg.hidden_act)(hpre @ lp["gate"].astype(dt))
+        up = hpre @ lp["up"].astype(dt)
+        mlp_out = (gate * up) @ lp["down"].astype(dt)
+        mlp_out = _dropout(mlp_out, cfg.mlp_dropout, r_mlp, train)
+        if use_ls:
+            mlp_out = mlp_out * lp["ls2"].astype(dt)
+        x = x + _drop_path(mlp_out, dp_rate, r_dp2, train)
+        return x, None
+
+    fn = jax.checkpoint(layer_fn) if cfg.remat else layer_fn
+    x, _ = jax.lax.scan(fn, x, (params["layers"], dp_rates, layer_idx))
+    return rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+
+
+def model_hidden_states(
+    params: Params,
+    cfg: ModelConfig,
+    input_ids: jnp.ndarray,
+    position_ids: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    raw_embeds: Optional[jnp.ndarray] = None,
+    embed_is_masked: Optional[jnp.ndarray] = None,
+    rng: Optional[jax.Array] = None,
+    train: bool = False,
+) -> jnp.ndarray:
+    """input embedding (+raw embed branch) -> decoder -> final norm."""
+    if rng is not None:
+        r_embed, r_body = jax.random.split(rng)
+    else:
+        r_embed = r_body = None
+    x = embed_inputs(params, cfg, input_ids, r_embed, train)
+    if raw_embeds is not None and cfg.embed_dim > 0:
+        x = add_raw_embeds(params, cfg, x, raw_embeds, embed_is_masked, r_embed, train)
+    return backbone_apply(params, cfg, x, position_ids, segment_ids, r_body, train)

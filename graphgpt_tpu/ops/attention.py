@@ -1,0 +1,87 @@
+"""Attention dispatch: Pallas flash kernel on TPU, fused-XLA fallback.
+
+All mask structure is derived on the fly from `segment_ids` + a causal
+flag — the reference materialises O(L^2) additive masks on host
+(src/utils/tokenizer_utils.py:351-355, attn_mask_utils.py); here masks never
+leave the kernel.
+
+segment_ids: int32 [B, P]; 0 = padding, equal nonzero values = same packed
+segment. Tokens attend only within their segment (and causally if causal).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e30
+
+
+def _mask_logits(logits, segment_ids, causal):
+    """logits [B, H, P, P] += additive mask from segments/causality."""
+    seg_q = segment_ids[:, None, :, None]
+    seg_k = segment_ids[:, None, None, :]
+    valid = (seg_q == seg_k) & (seg_k > 0)
+    if causal:
+        p = logits.shape[-1]
+        idx = jnp.arange(p)
+        valid = valid & (idx[None, None, :, None] >= idx[None, None, None, :])
+    return jnp.where(valid, logits, _NEG_INF)
+
+
+def xla_attention(
+    q: jnp.ndarray,  # [B, P, H, Dh]
+    k: jnp.ndarray,  # [B, P, Hkv, Dh]
+    v: jnp.ndarray,  # [B, P, Hkv, Dh]
+    segment_ids: jnp.ndarray,  # [B, P]
+    causal: bool = False,
+    softmax_scale: float | None = None,
+) -> jnp.ndarray:
+    """Reference attention: einsum + masked softmax, fp32 accumulation.
+
+    XLA fuses this well on TPU for moderate P; the Pallas kernel avoids the
+    [B,H,P,P] materialisation for long sequences.
+    """
+    b, p, h, dh = q.shape
+    hkv = k.shape[2]
+    if hkv != h:  # grouped-query attention: repeat kv heads
+        rep = h // hkv
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    scale = softmax_scale if softmax_scale is not None else dh**-0.5
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    logits = _mask_logits(logits, segment_ids, causal)
+    probs = jax.nn.softmax(logits, axis=-1)
+    # fully-masked (padding) rows produce uniform probs; zero them out
+    row_valid = (segment_ids > 0)[:, None, :, None]
+    probs = jnp.where(row_valid, probs, 0.0)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
+def attention(
+    q, k, v, segment_ids, causal: bool = False, impl: str = "auto",
+    softmax_scale: float | None = None,
+):
+    """Dispatch to the Pallas flash kernel or the XLA fallback.
+
+    impl: "auto" uses Pallas on TPU for seq >= 256 and head_dim multiple of
+    128-friendly shapes, XLA otherwise.
+    """
+    if impl == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        impl = "pallas" if (on_tpu and q.shape[1] >= 256) else "xla"
+    if impl == "pallas":
+        from .flash_attention import flash_attention
+
+        return flash_attention(
+            q, k, v, segment_ids, causal=causal, softmax_scale=softmax_scale
+        )
+    return xla_attention(q, k, v, segment_ids, causal, softmax_scale)

@@ -1,0 +1,268 @@
+"""Model core: shapes, masking semantics, loss kernels, gradients."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graphgpt_tpu.config import ModelConfig
+from graphgpt_tpu.models import heads, modeling
+from graphgpt_tpu.ops import losses
+from graphgpt_tpu.ops.attention import xla_attention
+
+
+def small_cfg(**kw) -> ModelConfig:
+    cfg = ModelConfig(
+        vocab_size=100,
+        hidden_size=64,
+        num_hidden_layers=2,
+        head_dim=16,
+        num_attention_heads=4,
+        intermediate_size=128,
+        stacked_feat=5,
+        next_n_token=5,
+        mask_token_id=1,
+        dtype="float32",
+    )
+    if kw.get("causal_attention"):
+        cfg.task_type = "pretrain"  # pretrain-mlm forces bidirectional
+    for k, v in kw.items():
+        setattr(cfg, k, v)
+    return cfg.finalize()
+
+
+def run_pretrain(params, cfg, batch, rng=None, train=False):
+    if rng is None:
+        fn = jax.jit(lambda p, b: heads.pretrain_forward(p, cfg, b, train=train))
+        return fn(params, batch)
+    fn = jax.jit(lambda p, b, r: heads.pretrain_forward(p, cfg, b, rng=r, train=train))
+    return fn(params, batch, rng)
+
+
+def run_task(params, cfg, batch):
+    fn = jax.jit(lambda p, b: heads.task_forward(p, cfg, b))
+    return fn(params, batch)
+
+
+def make_batch(cfg, b=2, p=16, seed=0):
+    rng = np.random.default_rng(seed)
+    ids = rng.integers(2, cfg.vocab_size, size=(b, p, cfg.stacked_feat)).astype(np.int32)
+    labels = np.where(rng.random((b, p, cfg.stacked_feat)) < 0.3, ids, -100).astype(np.int32)
+    return {
+        "input_ids": jnp.asarray(ids),
+        "labels": jnp.asarray(labels),
+        "position_ids": jnp.tile(jnp.arange(p), (b, 1)),
+        "segment_ids": jnp.ones((b, p), jnp.int32),
+        "wgt": jnp.ones((b,), jnp.float32),
+    }
+
+
+def test_forward_shapes():
+    cfg = small_cfg()
+    params = heads.init_pretrain_params(cfg, jax.random.PRNGKey(0))
+    batch = make_batch(cfg)
+    out = run_pretrain(params, cfg, batch)
+    assert out["hidden_states"].shape == (2, 16, 64)
+    assert np.isfinite(float(out["loss"]))
+
+
+def test_rms_norm_matches_manual():
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(3, 7)), jnp.float32)
+    w = jnp.asarray(np.random.default_rng(1).normal(size=(7,)), jnp.float32)
+    got = modeling.rms_norm(x, w, 1e-6)
+    want = x / np.sqrt((np.asarray(x) ** 2).mean(-1, keepdims=True) + 1e-6) * np.asarray(w)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5)
+
+
+def test_causal_masking_blocks_future():
+    cfg = small_cfg(causal_attention=True)
+    params = heads.init_pretrain_params(cfg, jax.random.PRNGKey(0))
+    batch = make_batch(cfg)
+    h1 = run_pretrain(params, cfg, batch)["hidden_states"]
+    batch2 = dict(batch)
+    ids2 = np.asarray(batch["input_ids"]).copy()
+    ids2[:, -1] = 3  # change only the last position
+    batch2["input_ids"] = jnp.asarray(ids2)
+    h2 = run_pretrain(params, cfg, batch2)["hidden_states"]
+    np.testing.assert_allclose(
+        np.asarray(h1[:, :-1]), np.asarray(h2[:, :-1]), rtol=2e-4, atol=2e-5
+    )
+    assert not np.allclose(np.asarray(h1[:, -1]), np.asarray(h2[:, -1]))
+
+
+def test_bidirectional_sees_future():
+    cfg = small_cfg(causal_attention=False)
+    params = heads.init_pretrain_params(cfg, jax.random.PRNGKey(0))
+    batch = make_batch(cfg)
+    h1 = run_pretrain(params, cfg, batch)["hidden_states"]
+    ids2 = np.asarray(batch["input_ids"]).copy()
+    ids2[:, -1] = 3
+    batch2 = dict(batch)
+    batch2["input_ids"] = jnp.asarray(ids2)
+    h2 = run_pretrain(params, cfg, batch2)["hidden_states"]
+    assert not np.allclose(np.asarray(h1[:, 0]), np.asarray(h2[:, 0]))
+
+
+def test_segment_isolation():
+    """Packed segments must not attend across segment boundaries."""
+    cfg = small_cfg(causal_attention=False)
+    params = heads.init_pretrain_params(cfg, jax.random.PRNGKey(0))
+    batch = make_batch(cfg, b=1, p=16)
+    seg = np.ones((1, 16), np.int32)
+    seg[:, 8:] = 2
+    batch["segment_ids"] = jnp.asarray(seg)
+    h1 = run_pretrain(params, cfg, batch)["hidden_states"]
+    ids2 = np.asarray(batch["input_ids"]).copy()
+    ids2[:, 12] = 5  # perturb segment 2 only
+    batch2 = dict(batch)
+    batch2["input_ids"] = jnp.asarray(ids2)
+    h2 = run_pretrain(params, cfg, batch2)["hidden_states"]
+    np.testing.assert_allclose(
+        np.asarray(h1[:, :8]), np.asarray(h2[:, :8]), rtol=2e-4, atol=2e-5
+    )
+    assert not np.allclose(np.asarray(h1[:, 8:]), np.asarray(h2[:, 8:]))
+
+
+def test_padding_rows_ignored():
+    cfg = small_cfg()
+    params = heads.init_pretrain_params(cfg, jax.random.PRNGKey(0))
+    batch = make_batch(cfg, b=1, p=16)
+    seg = np.ones((1, 16), np.int32)
+    seg[:, 12:] = 0  # padding
+    batch["segment_ids"] = jnp.asarray(seg)
+    labels = np.asarray(batch["labels"]).copy()
+    labels[:, 12:] = -100
+    batch["labels"] = jnp.asarray(labels)
+    h1 = run_pretrain(params, cfg, batch)
+    ids2 = np.asarray(batch["input_ids"]).copy()
+    ids2[:, 13] = 7  # change padding content
+    batch2 = dict(batch)
+    batch2["input_ids"] = jnp.asarray(ids2)
+    h2 = run_pretrain(params, cfg, batch2)
+    np.testing.assert_allclose(
+        np.asarray(h1["hidden_states"][:, :12]),
+        np.asarray(h2["hidden_states"][:, :12]),
+        rtol=2e-4,
+        atol=2e-5,
+    )
+    np.testing.assert_allclose(float(h1["loss"]), float(h2["loss"]), rtol=1e-5)
+
+
+def test_chunked_ce_matches_direct():
+    rng = np.random.default_rng(0)
+    b, p, d, n, v = 2, 8, 16, 3, 50
+    hidden = jnp.asarray(rng.normal(size=(b, p, d)), jnp.float32)
+    labels = jnp.asarray(rng.integers(-1, v, size=(b, p, n)), jnp.int32)
+    labels = jnp.where(labels < 0, -100, labels)
+    proj = jnp.asarray(rng.normal(size=(d, n * d)) * 0.1, jnp.float32)
+    lm = jnp.asarray(rng.normal(size=(d, v)) * 0.1, jnp.float32)
+    got = losses.chunked_stacked_ce(hidden, labels, proj, lm, chunk=4)
+    # direct computation
+    h = (hidden @ proj).reshape(b, p, n, d)
+    logits = h @ lm
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    safe = jnp.maximum(labels, 0)
+    picked = jnp.take_along_axis(logits, safe[..., None], -1)[..., 0]
+    ce = lse - picked
+    valid = (labels != -100).astype(jnp.float32)
+    want = float(jnp.sum(ce * valid) / jnp.sum(valid))
+    np.testing.assert_allclose(float(got), want, rtol=1e-5)
+
+
+def test_dlm_weighted_ce_normalization():
+    rng = np.random.default_rng(0)
+    b, p, d, n, v = 2, 8, 16, 3, 50
+    hidden = jnp.asarray(rng.normal(size=(b, p, d)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, v, size=(b, p, n)), jnp.int32)
+    proj = jnp.asarray(rng.normal(size=(d, n * d)) * 0.1, jnp.float32)
+    lm = jnp.asarray(rng.normal(size=(d, v)) * 0.1, jnp.float32)
+    w = jnp.full((b, p, n), 2.0, jnp.float32)
+    got = losses.chunked_stacked_ce(
+        hidden, labels, proj, lm, token_wgt=w, dlm_normalizer=float(b * p * n), chunk=4
+    )
+    base = losses.chunked_stacked_ce(hidden, labels, proj, lm, chunk=4)
+    # all-valid labels, uniform wgt=2: sum(2*ce)/(bpn) = 2*mean(ce)
+    np.testing.assert_allclose(float(got), 2 * float(base), rtol=1e-5)
+
+
+def test_gradients_finite():
+    cfg = small_cfg()
+    params = heads.init_pretrain_params(cfg, jax.random.PRNGKey(0))
+    batch = make_batch(cfg)
+
+    def loss_fn(p):
+        return heads.pretrain_forward(p, cfg, batch, rng=jax.random.PRNGKey(1), train=True)["loss"]
+
+    grads = jax.jit(jax.grad(loss_fn))(params)
+    flat, _ = jax.tree_util.tree_flatten(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    # embedding grad should be nonzero
+    assert float(jnp.abs(grads["embed_tokens"]).sum()) > 0
+
+
+def test_smtp_inside():
+    cfg = small_cfg(smtp_inside=True)
+    params = heads.init_pretrain_params(cfg, jax.random.PRNGKey(0))
+    batch = make_batch(cfg)
+    batch["node_idx"] = jnp.asarray(
+        np.random.default_rng(0).integers(0, 16, size=(2, 16)), jnp.int32
+    )
+    del batch["labels"], batch["wgt"]
+    out = run_pretrain(params, cfg, batch, rng=jax.random.PRNGKey(2), train=True)
+    assert np.isfinite(float(out["loss"]))
+
+
+def test_task_regression():
+    cfg = small_cfg(
+        task_type="graph",
+        problem_type="regression",
+        loss_type="l1",
+        num_labels=1,
+        next_n_token=1,
+    )
+    params = heads.init_task_params(cfg, jax.random.PRNGKey(0))
+    batch = make_batch(cfg)
+    del batch["labels"], batch["wgt"]
+    batch["graph_labels"] = jnp.asarray([[5.0], [4.0]], jnp.float32)
+    out = run_task(params, cfg, batch)
+    assert out["task_logits"].shape == (2, 1)
+    assert np.isfinite(float(out["loss"]))
+
+
+def test_task_multilabel_nan_masking():
+    cfg = small_cfg(
+        task_type="graph",
+        problem_type="multi_label_classification",
+        num_labels=4,
+        next_n_token=1,
+    )
+    params = heads.init_task_params(cfg, jax.random.PRNGKey(0))
+    batch = make_batch(cfg)
+    del batch["labels"], batch["wgt"]
+    y = np.asarray([[1, 0, np.nan, 1], [0, np.nan, np.nan, 0]], np.float32)
+    batch["graph_labels"] = jnp.asarray(y)
+    out = run_task(params, cfg, batch)
+    assert np.isfinite(float(out["loss"]))
+
+
+def test_gqa_attention():
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(1, 8, 4, 16)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, 8, 2, 16)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, 8, 2, 16)), jnp.float32)
+    seg = jnp.ones((1, 8), jnp.int32)
+    out = xla_attention(q, k, v, seg)
+    assert out.shape == (1, 8, 4, 16)
+    # heads 0,1 share kv head 0 -> identical outputs if q identical
+    q2 = q.at[:, :, 1].set(q[:, :, 0])
+    out2 = xla_attention(q2, k, v, seg)
+    np.testing.assert_allclose(np.asarray(out2[:, :, 0]), np.asarray(out2[:, :, 1]), rtol=1e-5)
+
+
+def test_droppath_layerscale_paths():
+    cfg = small_cfg(path_dropout=0.2, layer_scale_init_value=0.1)
+    params = heads.init_pretrain_params(cfg, jax.random.PRNGKey(0))
+    assert "ls1" in params["layers"]
+    batch = make_batch(cfg)
+    out = run_pretrain(params, cfg, batch, rng=jax.random.PRNGKey(3), train=True)
+    assert np.isfinite(float(out["loss"]))
