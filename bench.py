@@ -1,0 +1,101 @@
+"""Benchmark harness: pretrain tokens/s/chip on the flagship config.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no throughput numbers (SURVEY.md §6), so
+`vs_baseline` reports measured tokens/s divided by a model-FLOPs
+speed-of-light estimate for this chip (i.e. MFU-normalised throughput;
+1.0 would be perfect MXU utilisation on the 6*N*P*params transformer
+FLOP count). Higher is better.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def peak_flops_per_chip() -> float:
+    """bf16 peak for the attached chip generation."""
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    if "v5 lite" in kind or "v5e" in kind:
+        return 197e12
+    if "v5p" in kind or "v5 pod" in kind:
+        return 459e12
+    if "v4" in kind:
+        return 275e12
+    if "v6" in kind:
+        return 918e12
+    return 197e12
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="small model, few steps")
+    ap.add_argument("--batch", type=int, default=0)
+    ap.add_argument("--seq", type=int, default=1024)
+    ap.add_argument("--steps", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+
+    from __graft_entry__ import _fake_batch, _flagship_cfg
+    from graphgpt_tpu.config import OptimizerConfig
+    from graphgpt_tpu.models import heads
+    from graphgpt_tpu.training import optimizer as opt_lib
+    from graphgpt_tpu.training.steps import init_train_state, make_train_step
+
+    on_tpu = jax.default_backend() == "tpu"
+    if args.quick or not on_tpu:
+        cfg = _flagship_cfg(hidden=128, layers=2, seq=min(args.seq, 256))
+        batch_size = args.batch or 8
+        n_steps = args.steps or 5
+        seq = min(args.seq, 256)
+    else:
+        cfg = _flagship_cfg(hidden=768, layers=12, seq=args.seq)
+        batch_size = args.batch or 64
+        n_steps = args.steps or 20
+        seq = args.seq
+
+    params = heads.init_pretrain_params(cfg, jax.random.PRNGKey(0))
+    n_params = sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
+    ocfg = OptimizerConfig(lr=3e-4)
+    tx = opt_lib.make_optimizer(ocfg, 1000, 100)
+    state = init_train_state(params, tx)
+    step = make_train_step(heads.pretrain_forward, cfg, tx, ocfg)
+    batch = _fake_batch(batch_size, seq, cfg.stacked_feat, cfg.vocab_size)
+    rng = jax.random.PRNGKey(0)
+
+    # warmup/compile
+    state, m = step(state, batch, rng)
+    jax.block_until_ready(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, m = step(state, batch, rng)
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+
+    tokens_per_step = batch_size * seq
+    tokens_per_s = tokens_per_step * n_steps / dt
+    # fwd+bwd ~ 6 * params FLOPs per token (attention excluded: lower bound)
+    flops_per_token = 6.0 * n_params
+    sol_tokens_per_s = peak_flops_per_chip() / flops_per_token
+    print(
+        json.dumps(
+            {
+                "metric": "pretrain_tokens_per_sec_per_chip",
+                "value": round(tokens_per_s, 1),
+                "unit": "tokens/s",
+                "vs_baseline": round(tokens_per_s / sol_tokens_per_s, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

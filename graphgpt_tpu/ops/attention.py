@@ -72,12 +72,13 @@ def attention(
 ):
     """Dispatch to the Pallas flash kernel or the XLA fallback.
 
-    impl: "auto" uses Pallas on TPU for seq >= 256 and head_dim multiple of
-    128-friendly shapes, XLA otherwise.
+    impl: "auto" uses the Pallas flash kernel on TPU once sequences are long
+    enough that avoiding the [P, P] materialisation wins (measured crossover
+    vs the XLA fused path is above 1k on v5e), XLA otherwise.
     """
     if impl == "auto":
         on_tpu = jax.default_backend() == "tpu"
-        impl = "pallas" if (on_tpu and q.shape[1] >= 256) else "xla"
+        impl = "pallas" if (on_tpu and q.shape[1] > 1024) else "xla"
     if impl == "pallas":
         from .flash_attention import flash_attention
 

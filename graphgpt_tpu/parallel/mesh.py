@@ -1,0 +1,122 @@
+"""Device mesh construction and sharding rules.
+
+Replaces the reference's NCCL process groups (src/utils/misc_utils.py:507-539,
+DeepSpeed ZeRO-2) with a jax.sharding.Mesh over (data, fsdp, tensor) axes:
+
+  - data: pure data parallelism (grad psum inserted by pjit),
+  - fsdp: parameter/optimizer-state sharding (the ZeRO equivalent,
+    ds_config2_pt.json stage-2 semantics) — batch is also split over fsdp,
+  - tensor: Megatron-style tensor parallelism following the reference's
+    declarative tp plan (colwise q/k/v/gate/up, rowwise o/down;
+    src/conf/model/model_configs.py:307-317 — declared there, executed here).
+
+On multi-host slices, axes are laid out so `tensor` rides ICI within a host
+group and `data` spans DCN (mesh axis order gives ICI-contiguity to the
+trailing axes).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import MeshConfig
+
+AXES = ("data", "fsdp", "tensor")
+
+
+def make_mesh(cfg: Optional[MeshConfig] = None, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    fsdp = cfg.fsdp if cfg else 1
+    tensor = cfg.tensor if cfg else 1
+    data = cfg.data if cfg else -1
+    if data == -1:
+        assert n % (fsdp * tensor) == 0, f"{n} devices not divisible by fsdp*tensor"
+        data = n // (fsdp * tensor)
+    assert data * fsdp * tensor == n, (
+        f"mesh {data}x{fsdp}x{tensor} != {n} devices"
+    )
+    arr = np.asarray(devices).reshape(data, fsdp, tensor)
+    return Mesh(arr, AXES)
+
+
+def initialize_multihost(coordinator: Optional[str] = None) -> None:
+    """Multi-host bring-up (replaces dist.init_process_group; NCCL env
+    handling at misc_utils.py:507-539). No-op on a single process."""
+    if coordinator:
+        jax.distributed.initialize(coordinator_address=coordinator)
+    else:
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            pass  # single-process
+
+
+# ---------------------------------------------------------------------------
+# Partition specs
+# ---------------------------------------------------------------------------
+def batch_pspec() -> P:
+    return P(("data", "fsdp"))
+
+
+def _layer_specs() -> Dict[str, P]:
+    # stacked per-layer weights carry a leading L axis (never sharded)
+    return {
+        "attn_norm": P(None, None),
+        "mlp_norm": P(None, None),
+        # colwise: shard output dim over tensor; fsdp shards the input dim
+        "q": P(None, "fsdp", "tensor"),
+        "k": P(None, "fsdp", "tensor"),
+        "v": P(None, "fsdp", "tensor"),
+        "gate": P(None, "fsdp", "tensor"),
+        "up": P(None, "fsdp", "tensor"),
+        # rowwise: shard input dim over tensor
+        "o": P(None, "tensor", "fsdp"),
+        "down": P(None, "tensor", "fsdp"),
+        "ls1": P(None, None),
+        "ls2": P(None, None),
+    }
+
+
+def param_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
+    """PartitionSpec tree mirroring a params tree from models.heads init."""
+    specs: Dict[str, Any] = {}
+    layer_rules = _layer_specs()
+    for key, val in params.items():
+        if key == "layers":
+            specs[key] = {k: layer_rules[k] for k in val}
+        elif key == "embed_tokens":
+            specs[key] = P("fsdp", "tensor")
+        elif key in ("lm_head", "n_token_proj", "cl_proj", "embed_proj"):
+            specs[key] = P("fsdp", "tensor")
+        elif key == "score_mlp":
+            specs[key] = [
+                {k: P(None) for k in layer} for layer in val
+            ]
+        elif isinstance(val, list):
+            specs[key] = [jax.tree_util.tree_map(lambda _: P(None), v) for v in val]
+        else:
+            ndim = getattr(val, "ndim", 0)
+            specs[key] = P(*([None] * ndim))
+    return specs
+
+
+def named_sharding_tree(mesh: Mesh, spec_tree):
+    return jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s),
+        spec_tree,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
+    """Device-put host arrays with the batch axis split over data*fsdp."""
+    out = {}
+    for k, v in batch.items():
+        spec = P(("data", "fsdp"), *([None] * (np.ndim(v) - 1)))
+        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+    return out

@@ -1,0 +1,96 @@
+"""Optimizer + LR schedules (optax).
+
+Covers the reference's optimizer surface: AdamW with betas (0.9, 0.95),
+eps 1e-6, weight decay, global-norm grad clipping 1.0
+(configs/training/base.yaml optimizer block; DDP path opt_utils.py:7-37),
+and the scheduler registry (src/utils/loss_utils.py:170-367):
+WarmupDecayLR ("warmup_decay"), OneCycleLR ("onecycle"),
+CosineAnnealing ("cosine"), WarmupLR ("constant" after warmup).
+bf16 on TPU needs no loss scaler (the reference's fp16 GradScaler /
+DeepSpeed loss scaling has no equivalent here by design).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import optax
+
+from ..config import OptimizerConfig
+
+
+def make_schedule(
+    cfg: OptimizerConfig, total_steps: int, warmup_steps: int
+) -> optax.Schedule:
+    peak = cfg.lr
+    warmup_steps = max(int(warmup_steps), 1)
+    total_steps = max(int(total_steps), warmup_steps + 1)
+    name = cfg.scheduler
+    if name == "warmup_decay":
+        # DeepSpeed WarmupDecayLR: linear warmup then linear decay to 0
+        return optax.join_schedules(
+            [
+                optax.linear_schedule(0.0, peak, warmup_steps),
+                optax.linear_schedule(peak, cfg.min_lr, total_steps - warmup_steps),
+            ],
+            [warmup_steps],
+        )
+    if name == "onecycle":
+        # torch OneCycleLR (cos annealing) with pct_start = warmup/total
+        return optax.cosine_onecycle_schedule(
+            transition_steps=total_steps,
+            peak_value=peak,
+            pct_start=warmup_steps / total_steps,
+            div_factor=25.0,
+            final_div_factor=1e4,
+        )
+    if name == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=peak,
+            warmup_steps=warmup_steps,
+            decay_steps=total_steps,
+            end_value=cfg.min_lr,
+        )
+    if name == "constant":
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, peak, warmup_steps), optax.constant_schedule(peak)],
+            [warmup_steps],
+        )
+    raise ValueError(f"unknown scheduler {name!r}")
+
+
+def make_optimizer(
+    cfg: OptimizerConfig,
+    total_steps: int,
+    warmup_steps: int,
+    schedule: Optional[optax.Schedule] = None,
+) -> optax.GradientTransformation:
+    sched = schedule or make_schedule(cfg, total_steps, warmup_steps)
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adamw(
+            learning_rate=sched,
+            b1=cfg.betas[0],
+            b2=cfg.betas[1],
+            eps=cfg.eps,
+            weight_decay=cfg.weight_decay,
+        ),
+    )
+    if cfg.gradient_accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)
+    return tx
+
+
+def compute_total_steps(
+    total_tokens: float,
+    warmup_tokens: float,
+    tokens_per_sample: float,
+    global_batch_size: int,
+) -> tuple:
+    """Token-budget driven step counts (reference update_num_steps,
+    src/conf/base_configs.py:54-61)."""
+    tokens_per_step = max(tokens_per_sample * global_batch_size, 1.0)
+    total = int(total_tokens / tokens_per_step)
+    warmup = int(warmup_tokens / tokens_per_step)
+    return max(total, 1), max(warmup, 1)

@@ -1,0 +1,264 @@
+"""Training orchestration: the TrainingPipeline equivalent.
+
+Mirrors the reference's 8-phase pipeline + mode strategy
+(src/training/pipeline.py:15-226, pretrain_mode.py / finetune_mode.py)
+with the TPU-native pieces: vocab build -> tokenizer -> token-budget step
+schedule -> sharded params over the mesh -> jitted train step -> Orbax
+checkpoints with auto-resume -> per-interval eval.
+
+`python -m graphgpt_tpu.training.pipeline --smoke` runs a tiny synthetic
+pretrain end-to-end (the de-facto smoke surface; reference analogue is the
+cpu-test mode of examples/*.sh).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+from ..config import Config, config_to_dict
+from ..data import vocab as vocab_mod
+from ..data.collator import Batch
+from ..data.datasets import (
+    MOL_EDGE_CARD,
+    MOL_NODE_CARD,
+    SyntheticMolDataset,
+    train_valid_split,
+)
+from ..data.loader import GraphTokenLoader, estimate_tokens_per_sample
+from ..data.tokenizer import StackedGSTTokenizer
+from ..models import heads
+from ..parallel import mesh as mesh_lib
+from ..utils.logging import CsvLogger, Throughput, log_line
+from . import optimizer as opt_lib
+from .checkpoint import Checkpointer, save_run_config
+from .steps import init_train_state, make_eval_step, make_train_step
+
+
+def build_dataset(cfg: Config):
+    name = cfg.tokenization.dataset
+    if name == "synthetic_mol":
+        return SyntheticMolDataset(50_000, seed=cfg.training.seed)
+    from .. import readers  # registry of real dataset readers
+
+    return readers.read_dataset(name, cfg)
+
+
+def build_tokenizer(cfg: Config, dataset) -> StackedGSTTokenizer:
+    tok_cfg = cfg.tokenization
+    vocab_path = os.path.join(cfg.training.output_dir, tok_cfg.vocab_file)
+    if os.path.exists(vocab_path):
+        vm = vocab_mod.load_vocab(vocab_path)
+    else:
+        if tok_cfg.dataset == "synthetic_mol":
+            node_vals = [np.arange(c) for c in MOL_NODE_CARD]
+            edge_vals = [np.arange(c) for c in MOL_EDGE_CARD]
+        else:
+            node_vals = vocab_mod.scan_attr_values(
+                (dataset[i] for i in range(min(len(dataset), 10000))),
+                tok_cfg.semantics.node.discrete or "node_attr",
+                tok_cfg.semantics.node.dim,
+            )
+            edge_vals = vocab_mod.scan_attr_values(
+                (dataset[i] for i in range(min(len(dataset), 10000))),
+                tok_cfg.semantics.edge.discrete or "edge_attr",
+                tok_cfg.semantics.edge.dim,
+            )
+        vocab = vocab_mod.build_vocab(tok_cfg, node_vals, edge_vals)
+        if jax.process_index() == 0:
+            vocab_mod.save_vocab(vocab, vocab_path)
+        vm = vocab_mod.vocab_map_from_list(vocab)
+    return StackedGSTTokenizer(
+        tok_cfg, vm, task_type=cfg.training.task_type, mlm_cfg=cfg.training.pretrain_mlm
+    )
+
+
+class PretrainPipeline:
+    """Step-indexed pretraining (reference PretrainMode,
+    src/training/pretrain_mode.py:97-500)."""
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg.sync()
+
+    def setup(self):
+        cfg = self.cfg
+        tcfg = cfg.training
+        os.makedirs(tcfg.output_dir, exist_ok=True)
+        self.dataset = build_dataset(cfg)
+        self.tokenizer = build_tokenizer(cfg, self.dataset)
+        # model config from tokenizer
+        m = cfg.model
+        m.vocab_size = self.tokenizer.vocab_size
+        m.mask_token_id = self.tokenizer.mask_id
+        m.eos_token_id = self.tokenizer.eos_id
+        m.bos_token_id = self.tokenizer.bos_id
+        m.finalize()
+        # splits
+        self.train_idx, self.valid_idx = train_valid_split(
+            len(self.dataset), tcfg.valid_percent, tcfg.seed
+        )
+        # schedule from token budget
+        pack = tcfg.pack_tokens > 0
+        if pack:
+            tokens_per_sample = float(tcfg.max_length)  # packed rows are full
+        else:
+            tokens_per_sample = estimate_tokens_per_sample(
+                self.dataset, self.tokenizer, n=min(256, tcfg.tot_samples)
+            )
+        self.total_steps, self.warmup_steps = opt_lib.compute_total_steps(
+            tcfg.schedule.total_tokens,
+            tcfg.schedule.warmup_tokens,
+            tokens_per_sample,
+            tcfg.batch_size,
+        )
+        if tcfg.schedule.total_num_steps:
+            self.total_steps = tcfg.schedule.total_num_steps
+        if tcfg.schedule.warmup_num_steps:
+            self.warmup_steps = tcfg.schedule.warmup_num_steps
+        log_line(
+            f"schedule: {self.total_steps} steps ({self.warmup_steps} warmup), "
+            f"~{tokens_per_sample:.1f} tokens/sample"
+        )
+        # mesh + sharded state
+        self.mesh = mesh_lib.make_mesh(tcfg.mesh)
+        params = heads.init_pretrain_params(m, jax.random.PRNGKey(tcfg.seed))
+        pspecs = mesh_lib.param_pspecs(params)
+        self.shardings = mesh_lib.named_sharding_tree(self.mesh, pspecs)
+        params = jax.device_put(params, self.shardings)
+        self.schedule = opt_lib.make_schedule(
+            tcfg.optimizer, self.total_steps, self.warmup_steps
+        )
+        self.tx = opt_lib.make_optimizer(
+            tcfg.optimizer, self.total_steps, self.warmup_steps, self.schedule
+        )
+        self.state = init_train_state(params, self.tx, tcfg.optimizer.use_ema)
+        self.train_step = make_train_step(
+            heads.pretrain_forward, m, self.tx, tcfg.optimizer, self.schedule
+        )
+        self.eval_step = make_eval_step(heads.pretrain_forward, m)
+        # loader
+        self.loader = GraphTokenLoader(
+            self.dataset,
+            self.tokenizer,
+            batch_size=max(tcfg.batch_size // jax.process_count(), 1),
+            mpe=tcfg.max_length,
+            pack=pack,
+            num_workers=tcfg.num_workers,
+            seed=tcfg.seed,
+        )
+        # checkpointing + auto-resume
+        self.ckpt = Checkpointer(os.path.join(tcfg.output_dir, "ckpt"))
+        self.start_step = 0
+        self.start_epoch = 0
+        latest = self.ckpt.latest_step()
+        if latest is not None:
+            state, meta = self.ckpt.restore(self.state, latest)
+            self.state = state
+            self.start_step = int(meta.get("step", latest))
+            self.start_epoch = int(meta.get("epoch", 0))
+            log_line(f"auto-resumed from step {self.start_step}")
+        if jax.process_index() == 0:
+            save_run_config(tcfg.output_dir, config_to_dict(cfg))
+        self.logger = CsvLogger(os.path.join(tcfg.output_dir, "log.csv"))
+        return self
+
+    def _device_batches(self, epoch: int) -> Iterator[Dict]:
+        idx = np.random.default_rng((self.cfg.training.seed, epoch)).permutation(
+            self.train_idx
+        )
+        # per-host shard
+        idx = idx[jax.process_index() :: jax.process_count()]
+        for batch in self.loader.prefetched(idx, epoch):
+            yield mesh_lib.shard_batch(self.mesh, dict(batch.data))
+
+    def run(self, max_steps: Optional[int] = None):
+        cfg = self.cfg.training
+        step_limit = min(self.total_steps, max_steps or self.total_steps)
+        rng = jax.random.PRNGKey(cfg.seed)
+        thr = Throughput()
+        global_step = self.start_step
+        epoch = self.start_epoch
+        with self.mesh:
+            while global_step < step_limit:
+                for batch in self._device_batches(epoch):
+                    self.state, metrics = self.train_step(self.state, batch, rng)
+                    global_step += 1
+                    b, p = batch["segment_ids"].shape
+                    thr.update(int(np.sum(np.asarray(batch["segment_ids"]) > 0)), b)
+                    if global_step % cfg.schedule.logging_steps == 0:
+                        m = {k: float(v) for k, v in metrics.items()}
+                        m.update(thr.rates())
+                        m.update(step=global_step, epoch=epoch)
+                        thr.reset()
+                        log_line(
+                            f"step {global_step}/{step_limit} loss {m['loss']:.4f} "
+                            f"lr {m.get('lr', 0):.2e} tok/s {m['tokens_per_s']:.0f}"
+                        )
+                        self.logger.log(m)
+                    if (
+                        cfg.schedule.steps_per_saving
+                        and global_step % cfg.schedule.steps_per_saving == 0
+                    ):
+                        self._save_and_eval(global_step, epoch)
+                    if global_step >= step_limit:
+                        break
+                epoch += 1
+        self._save_and_eval(global_step, epoch)
+        self.ckpt.wait()
+        return self.state
+
+    def _save_and_eval(self, step: int, epoch: int):
+        self.ckpt.save(step, self.state, {"step": step, "epoch": epoch})
+        if self.cfg.training.do_valid and len(self.valid_idx) > 0:
+            losses = []
+            for batch in self.loader.epoch_batches(self.valid_idx[:512], epoch=0):
+                b = mesh_lib.shard_batch(self.mesh, dict(batch.data))
+                out = self.eval_step(self.state, b)
+                losses.append(float(out["loss"]))
+            if losses:
+                log_line(f"valid loss @ step {step}: {np.mean(losses):.4f}")
+
+
+def smoke_test():
+    from ..config import Config
+
+    cfg = Config()
+    cfg.tokenization.semantics.node.discrete = "node_attr"
+    cfg.tokenization.semantics.node.dim = 9
+    cfg.tokenization.semantics.edge.discrete = "edge_attr"
+    cfg.tokenization.semantics.edge.dim = 3
+    cfg.model.hidden_size = 128
+    cfg.model.num_hidden_layers = 2
+    cfg.training.batch_size = 8
+    cfg.training.max_length = 128
+    cfg.training.pack_tokens = 1
+    cfg.training.num_workers = 0
+    cfg.training.schedule.total_num_steps = 30
+    cfg.training.schedule.warmup_num_steps = 5
+    cfg.training.schedule.logging_steps = 10
+    cfg.training.valid_percent = 0.01
+    cfg.training.do_valid = True
+    cfg.training.output_dir = os.environ.get("SMOKE_DIR", "/tmp/graphgpt_smoke")
+    pipe = PretrainPipeline(cfg).setup()
+    pipe.run()
+    log_line("smoke test done")
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--config", default=None)
+    ap.add_argument("overrides", nargs="*")
+    args = ap.parse_args()
+    if args.smoke:
+        smoke_test()
+    else:
+        from ..config import load_config
+
+        cfg = load_config(args.config, args.overrides)
+        PretrainPipeline(cfg).setup().run()
