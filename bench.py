@@ -71,13 +71,14 @@ def main():
     batch = _fake_batch(batch_size, seq, cfg.stacked_feat, cfg.vocab_size)
     rng = jax.random.PRNGKey(0)
 
-    # warmup/compile
+    # warmup/compile; float() forces a device->host read — on the tunneled
+    # axon backend block_until_ready alone does not reliably block
     state, m = step(state, batch, rng)
-    jax.block_until_ready(m["loss"])
+    _ = float(m["loss"])
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, m = step(state, batch, rng)
-    jax.block_until_ready(m["loss"])
+    _ = float(m["loss"])
     dt = time.perf_counter() - t0
 
     tokens_per_step = batch_size * seq

@@ -1,0 +1,145 @@
+"""dLLM-style iterative unmasking generation (jitted).
+
+Re-implements the reference's Dream-derived sampler
+(src/utils/generation_utils.py:44-237) as a single jitted
+`lax.while_loop`: one model forward per diffusion step, confidence-ranked
+batched unmasking with static shapes (per-sample top-k realised as a rank
+threshold instead of torch.topk + scatter), early exit when nothing is
+masked.
+
+Algorithms: "origin" (random transfer), "maskgit_plus" (probability
+confidence), "topk_margin" (top1-top2 margin), "entropy" (negative
+entropy), each optionally Gumbel-perturbed via alg_temp.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import GenerationConfig
+
+
+def sample_tokens(
+    logits: jnp.ndarray,  # [..., V]
+    rng: Optional[jax.Array],
+    temperature: float = 0.0,
+    margin_confidence: bool = False,
+    neg_entropy: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(confidence, token) per position (reference sample_tokens,
+    generation_utils.py:44-81)."""
+    logits = logits.astype(jnp.float32)
+    if temperature > 0:
+        logits = logits / temperature
+    probs = jax.nn.softmax(logits, axis=-1)
+    if temperature > 0 and rng is not None:
+        x0 = jax.random.categorical(rng, logits, axis=-1)
+        confidence = jnp.take_along_axis(probs, x0[..., None], axis=-1)[..., 0]
+    else:
+        x0 = jnp.argmax(probs, axis=-1)
+        confidence = jnp.max(probs, axis=-1)
+    if margin_confidence:
+        top2 = jax.lax.top_k(probs, 2)[0]
+        confidence = top2[..., 0] - top2[..., 1]
+    if neg_entropy:
+        confidence = jnp.sum(probs * jnp.log(probs + 1e-10), axis=-1)
+    return confidence, x0.astype(jnp.int32)
+
+
+def _scatter_rows(indices, values):
+    """out[b, indices[b, j]] = values[b, j] (row-wise scatter)."""
+    out = jnp.zeros_like(indices)
+    return out.at[
+        jnp.arange(indices.shape[0])[:, None], indices
+    ].set(values)
+
+
+def make_unmask_sampler(
+    logits_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    cfg: GenerationConfig,
+    mask_token_id: int,
+):
+    """Build a jitted sampler.
+
+    logits_fn(x_flat [B, T]) -> [B, T, V] (caller reshapes to the model's
+    stacked [B, seq, next_n] layout inside).
+    """
+    steps = cfg.steps
+    eps = cfg.eps
+    alg = cfg.alg
+    timesteps = jnp.linspace(1.0, eps, steps + 1)
+
+    def body(carry):
+        x, i, rng = carry
+        rng, r_samp, r_alg = jax.random.split(rng, 3)
+        mask = x == mask_token_id  # [B, T]
+        logits = logits_fn(x)
+        confidence, x0 = sample_tokens(
+            logits,
+            r_samp,
+            temperature=cfg.temperature,
+            margin_confidence=(alg == "topk_margin"),
+            neg_entropy=(alg == "entropy"),
+        )
+        t, s = timesteps[i], timesteps[i + 1]
+        p_transfer = jnp.where(i < steps - 1, 1.0 - s / t, 1.0)
+        if alg == "origin":
+            transfer = jax.random.uniform(r_alg, x.shape) < p_transfer
+            new_x = jnp.where(mask & transfer, x0, x)
+        else:
+            conf = jnp.where(mask, confidence, -jnp.inf)
+            if cfg.alg_temp and cfg.alg_temp > 0:
+                g = -jnp.log(-jnp.log(jax.random.uniform(r_alg, conf.shape) + 1e-9) + 1e-9)
+                conf = conf / cfg.alg_temp + g
+            num_masked = jnp.sum(mask, axis=-1)  # [B]
+            num_transfer = jnp.floor(num_masked * p_transfer).astype(jnp.int32)
+            order = jnp.argsort(-conf, axis=-1)
+            ranks = _scatter_rows(
+                order, jnp.broadcast_to(jnp.arange(x.shape[-1]), x.shape)
+            )
+            unmask = mask & (ranks < num_transfer[:, None])
+            new_x = jnp.where(unmask, x0, x)
+        return new_x, i + 1, rng
+
+    def cond(carry):
+        x, i, _ = carry
+        return (i < steps) & jnp.any(x == mask_token_id)
+
+    @jax.jit
+    def sample(x_flat: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
+        out, _, _ = jax.lax.while_loop(cond, body, (x_flat, jnp.zeros((), jnp.int32), rng))
+        return out
+
+    return sample
+
+
+def generation_accuracy(
+    generated: jnp.ndarray, truth: jnp.ndarray, initial_mask: jnp.ndarray
+) -> Dict[str, jnp.ndarray]:
+    """Accuracy over originally-masked positions (reference cal_gen_acc_*,
+    generation_utils.py:439-463)."""
+    correct = (generated == truth) & initial_mask
+    n = jnp.sum(initial_mask)
+    return {
+        "acc": jnp.sum(correct) / jnp.maximum(n, 1),
+        "n_masked": n,
+    }
+
+
+def mask_at_ratio(
+    input_ids, mask_token_id: int, ratio_band, rng, pad_token_id: int = 0
+):
+    """Host/numpy helper: mask a uniform ratio drawn from [lo, hi) — the
+    generation-eval band sweep (reference evaluate_generation umr_clip,
+    log_eval_dump_utils.py:307-384)."""
+    import numpy as np
+
+    lo, hi = ratio_band
+    ratio = lo + (hi - lo) * rng.random()
+    mask = (rng.random(input_ids.shape) < ratio) & (input_ids != pad_token_id)
+    masked = np.where(mask, mask_token_id, input_ids)
+    return masked, mask

@@ -1,0 +1,206 @@
+"""Fine-tuning pipeline: epoch-level training with per-epoch eval/EMA-best.
+
+Reference: src/training/finetune_mode.py (FinetuneMode) — warm-start from a
+pretrain checkpoint with score-head skipping, optional layer freezing, EMA
+evaluation, OGB metric computation, best-checkpoint tracking.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+import optax
+
+from ..config import Config, config_to_dict
+from ..data.datasets import train_valid_split
+from ..data.loader import GraphTokenLoader
+from ..models import heads
+from ..parallel import mesh as mesh_lib
+from ..utils import metrics as metrics_mod
+from ..utils import ogb_eval
+from ..utils.logging import CsvLogger, log_line
+from . import optimizer as opt_lib
+from .checkpoint import Checkpointer, restore_params_warmstart, save_run_config
+from .pipeline import build_dataset, build_tokenizer
+from .steps import init_train_state, make_eval_step, make_train_step
+
+
+def freeze_mask(params, freeze: int):
+    """Trainability mask: freeze=0 freezes embeddings, freeze=k additionally
+    freezes the first k decoder layers (reference freeze_llama_layers,
+    src/utils/modules_utils.py:44-54). Layer-stacked params can't freeze a
+    leading slice via optax masking, so k>0 zeroes those slices' updates in
+    a custom transform."""
+    if freeze < 0:
+        return None
+
+    def label(path_key, _):
+        name = path_key[0].key if hasattr(path_key[0], "key") else str(path_key[0])
+        return "frozen" if name == "embed_tokens" else "trainable"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+class FinetunePipeline:
+    def __init__(self, cfg: Config):
+        self.cfg = cfg.sync()
+
+    def setup(self):
+        cfg = self.cfg
+        tcfg = cfg.training
+        os.makedirs(tcfg.output_dir, exist_ok=True)
+        self.dataset = build_dataset(cfg)
+        self.tokenizer = build_tokenizer(cfg, self.dataset)
+        m = cfg.model
+        m.vocab_size = self.tokenizer.vocab_size
+        m.mask_token_id = self.tokenizer.mask_id
+        m.eos_token_id = self.tokenizer.eos_id
+        m.next_n_token = m.stacked_feat if m.use_aux else 1
+        m.finalize()
+
+        # splits: valid/test from the dataset if it provides them
+        if hasattr(self.dataset, "splits"):
+            self.train_idx, self.valid_idx, self.test_idx = self.dataset.splits()
+        else:
+            tr, va = train_valid_split(len(self.dataset), max(tcfg.valid_percent, 0.05), tcfg.seed)
+            self.train_idx, self.valid_idx, self.test_idx = tr, va, va
+
+        steps_per_epoch = max(len(self.train_idx) // tcfg.batch_size, 1)
+        epochs = tcfg.schedule.epochs or 10
+        self.total_steps = steps_per_epoch * epochs
+        self.warmup_steps = max(
+            int(self.total_steps * 0.05)
+            if not tcfg.schedule.warmup_num_steps
+            else tcfg.schedule.warmup_num_steps,
+            1,
+        )
+        self.epochs = epochs
+
+        self.mesh = mesh_lib.make_mesh(tcfg.mesh)
+        params = heads.init_task_params(m, jax.random.PRNGKey(tcfg.seed))
+        if tcfg.pretrain_cpt:
+            params = restore_params_warmstart(
+                os.path.join(tcfg.pretrain_cpt, "ckpt"), params,
+                skip_prefixes=("score", "lm_head", "n_token_proj"),
+            )
+            log_line(f"warm-started from {tcfg.pretrain_cpt}")
+        pspecs = mesh_lib.param_pspecs(params)
+        self.shardings = mesh_lib.named_sharding_tree(self.mesh, pspecs)
+        params = jax.device_put(params, self.shardings)
+
+        self.schedule = opt_lib.make_schedule(tcfg.optimizer, self.total_steps, self.warmup_steps)
+        tx = opt_lib.make_optimizer(tcfg.optimizer, self.total_steps, self.warmup_steps, self.schedule)
+        mask = freeze_mask(params, tcfg.freeze)
+        if mask is not None:
+            tx = optax.multi_transform(
+                {"trainable": tx, "frozen": optax.set_to_zero()}, mask
+            )
+        self.tx = tx
+        self.state = init_train_state(params, tx, tcfg.optimizer.use_ema)
+        self.train_step = make_train_step(
+            heads.task_forward, m, tx, tcfg.optimizer, self.schedule
+        )
+        self.eval_step = make_eval_step(heads.task_forward, m)
+        self.eval_step_ema = make_eval_step(heads.task_forward, m, use_ema=True)
+
+        self.loader = GraphTokenLoader(
+            self.dataset,
+            self.tokenizer,
+            batch_size=tcfg.batch_size,
+            mpe=tcfg.max_length,
+            pack=False,  # task rows must stay one-graph-per-row
+            num_workers=tcfg.num_workers,
+            seed=tcfg.seed,
+        )
+        self.ckpt = Checkpointer(os.path.join(tcfg.output_dir, "ckpt"))
+        self.logger = CsvLogger(os.path.join(tcfg.output_dir, "loss.csv"))
+        self.results = CsvLogger(os.path.join(tcfg.output_dir, "result.csv"))
+        self.best: Dict[str, float] = {}
+        if jax.process_index() == 0:
+            save_run_config(tcfg.output_dir, config_to_dict(cfg))
+        return self
+
+    # ------------------------------------------------------------------
+    def _label_key(self) -> str:
+        task = self.cfg.training.task_type
+        return {"graph": "graph_labels", "edge": "edge_labels", "node": "node_labels"}[task]
+
+    def evaluate(self, indices, use_ema: bool = False, ogb_name: Optional[str] = None) -> Dict[str, float]:
+        cfg = self.cfg
+        all_scores, all_labels, all_idx = [], [], []
+        ev = self.eval_step_ema if use_ema else self.eval_step
+        with self.mesh:
+            for batch in self.loader.epoch_batches(np.asarray(indices), epoch=0):
+                b = mesh_lib.shard_batch(self.mesh, dict(batch.data))
+                out = ev(self.state, b)
+                all_scores.append(np.asarray(out["task_logits"], np.float64))
+                all_labels.append(np.asarray(batch[self._label_key()]))
+                if "idx" in batch:
+                    all_idx.append(np.asarray(batch["idx"]))
+        if not all_scores:
+            return {}
+        scores = np.concatenate(all_scores)
+        labels = np.concatenate(all_labels)
+        if cfg.model.problem_type == "regression":
+            preds = scores.reshape(labels.shape)
+        else:
+            preds = scores
+        res = metrics_mod.compute_metrics(cfg.model.problem_type, preds, labels)
+        if ogb_name and ogb_name in ogb_eval._ogb:
+            if ogb_name.startswith("ogbl"):
+                pos_scores = (
+                    scores[:, 1] - scores[:, 0]
+                    if scores.ndim > 1 and scores.shape[-1] == 2
+                    else scores.reshape(-1)
+                )
+                if ogb_name in ("ogbl-citation2", "ogbl-wikikg2"):
+                    idx = np.concatenate(all_idx) if all_idx else np.arange(len(labels))
+                    d = ogb_eval.reformat_mrr_inputs(pos_scores, labels, idx)
+                else:
+                    d = ogb_eval.reformat_hits_inputs(pos_scores, labels)
+                res.update(ogb_eval.evaluate_ogb(ogb_name, d))
+            else:
+                res.update(
+                    ogb_eval.evaluate_ogb(ogb_name, {"y_pred": preds, "y_true": labels})
+                )
+        return res
+
+    def run(self):
+        tcfg = self.cfg.training
+        rng = jax.random.PRNGKey(tcfg.seed)
+        global_step = 0
+        with self.mesh:
+            for epoch in range(self.epochs):
+                if hasattr(self.dataset, "reset_samples"):
+                    self.dataset.reset_samples(epoch, tcfg.seed)
+                idx = np.random.default_rng((tcfg.seed, epoch)).permutation(self.train_idx)
+                for batch in self.loader.prefetched(idx, epoch):
+                    b = mesh_lib.shard_batch(self.mesh, dict(batch.data))
+                    self.state, metrics = self.train_step(self.state, b, rng)
+                    global_step += 1
+                    if global_step % tcfg.schedule.logging_steps == 0:
+                        m = {k: float(v) for k, v in metrics.items()}
+                        m.update(step=global_step, epoch=epoch)
+                        log_line(
+                            f"epoch {epoch} step {global_step} loss {m['loss']:.4f}"
+                        )
+                        self.logger.log(m)
+                if (epoch + 1) % tcfg.epoch_per_eval == 0:
+                    res = self.evaluate(self.valid_idx[: 4096])
+                    res = {f"valid_{k}": v for k, v in res.items()}
+                    if self.cfg.training.optimizer.use_ema:
+                        res.update(
+                            {f"valid_ema_{k}": v for k, v in self.evaluate(self.valid_idx[:4096], use_ema=True).items()}
+                        )
+                    res.update(epoch=epoch, step=global_step)
+                    log_line(f"eval epoch {epoch}: {res}")
+                    self.results.log(res)
+                    key = next((k for k in res if k.startswith("valid_")), None)
+                    if key and metrics_mod.is_better(res, self.best, key):
+                        self.best = dict(res)
+                        self.ckpt.save(epoch, self.state, {"epoch": epoch, "best": True})
+        self.ckpt.wait()
+        return self.best

@@ -1,0 +1,106 @@
+"""dLLM generation loop, metrics, OGB evaluators."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graphgpt_tpu.config import GenerationConfig
+from graphgpt_tpu.generation import dllm
+from graphgpt_tpu.utils import metrics, ogb_eval
+
+MASK = 1
+
+
+def _logits_fn_oracle(truth, vocab):
+    """Oracle model: puts all probability on the true token."""
+
+    def fn(x):
+        onehot = jax.nn.one_hot(truth, vocab) * 10.0
+        return jnp.broadcast_to(onehot, x.shape + (vocab,))
+
+    return fn
+
+
+@pytest.mark.parametrize("alg", ["origin", "maskgit_plus", "topk_margin", "entropy"])
+def test_unmask_recovers_truth_with_oracle(alg):
+    rng = np.random.default_rng(0)
+    b, t, v = 2, 32, 20
+    truth = jnp.asarray(rng.integers(2, v, size=(b, t)), jnp.int32)
+    mask = rng.random((b, t)) < 0.6
+    x0 = jnp.where(mask, MASK, truth)
+    cfg = GenerationConfig(steps=8, alg=alg, temperature=0.0, alg_temp=0.0)
+    sampler = dllm.make_unmask_sampler(_logits_fn_oracle(truth, v), cfg, MASK)
+    out = sampler(x0, jax.random.PRNGKey(0))
+    # oracle should fully unmask to the truth
+    assert not bool(jnp.any(out == MASK))
+    acc = dllm.generation_accuracy(out, truth, jnp.asarray(mask))
+    assert float(acc["acc"]) == 1.0
+
+
+def test_unmask_progressive():
+    """Each step unmasks ~ the scheduled fraction (maskgit)."""
+    rng = np.random.default_rng(0)
+    b, t, v = 1, 64, 10
+    truth = jnp.asarray(rng.integers(2, v, size=(b, t)), jnp.int32)
+    x0 = jnp.where(rng.random((b, t)) < 0.9, MASK, truth)
+    cfg = GenerationConfig(steps=4, alg="maskgit_plus")
+    sampler = dllm.make_unmask_sampler(_logits_fn_oracle(truth, v), cfg, MASK)
+    out = sampler(x0, jax.random.PRNGKey(0))
+    assert not bool(jnp.any(out == MASK))
+
+
+def test_binary_auroc_against_known():
+    scores = np.asarray([0.1, 0.4, 0.35, 0.8])
+    labels = np.asarray([0, 0, 1, 1])
+    # sklearn value for this case is 0.75
+    assert abs(metrics.binary_auroc(scores, labels) - 0.75) < 1e-9
+    # perfect separation
+    assert metrics.binary_auroc(np.asarray([0.1, 0.9]), np.asarray([0, 1])) == 1.0
+
+
+def test_multilabel_auroc_nan_masking():
+    scores = np.asarray([[0.9, 0.2], [0.1, 0.8], [0.7, np.nan]])
+    labels = np.asarray([[1, 0], [0, np.nan], [1, np.nan]])
+    v = metrics.multilabel_auroc(scores[:, :], labels)
+    assert np.isfinite(v)
+
+
+def test_hits_at_k():
+    pos = np.asarray([0.9, 0.5, 0.2])
+    neg = np.linspace(0, 1, 200)  # k-th highest of 200 negatives
+    h = ogb_eval.hits_at_k(pos, neg, k=100)
+    # threshold = 100th highest neg = value at index -100 = 0.502...
+    thr = np.sort(neg)[-100]
+    expected = (pos > thr).mean()
+    assert abs(h - expected) < 1e-12
+
+
+def test_mrr_formula():
+    pos = np.asarray([0.9, 0.1])
+    neg = np.asarray([[0.5, 0.95, 0.2], [0.5, 0.95, 0.2]])
+    # row 0: one neg above -> rank 2; row 1: all above -> rank 4
+    got = ogb_eval.mrr(pos, neg)
+    assert abs(got - (1 / 2 + 1 / 4) / 2) < 1e-12
+
+
+def test_reformat_mrr_groups_by_idx():
+    # 2 positives with 3 negatives each, interleaved with idx keys
+    scores = np.asarray([0.9, 0.1, 0.2, 0.3, 0.8, 0.4, 0.5, 0.6])
+    labels = np.asarray([1, 0, 0, 0, 1, 0, 0, 0])
+    idx = np.asarray([0, 0, 0, 0, 1, 1, 1, 1])
+    d = ogb_eval.reformat_mrr_inputs(scores, labels, idx, num_neg=3)
+    assert d["y_pred_pos"].tolist() == [0.9, 0.8]
+    assert d["y_pred_neg"].shape == (2, 3)
+
+
+def test_average_precision():
+    # all positives ranked first -> AP = 1
+    ap = ogb_eval._average_precision(np.asarray([0.9, 0.8, 0.1]), np.asarray([1, 1, 0]))
+    assert ap == 1.0
+
+
+def test_is_better():
+    assert metrics.is_better({"mae": 0.5}, {"mae": 0.6}, "mae")
+    assert not metrics.is_better({"mae": 0.7}, {"mae": 0.6}, "mae")
+    assert metrics.is_better({"auroc": 0.9}, {"auroc": 0.8}, "auroc")
