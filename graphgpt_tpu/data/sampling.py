@@ -1,0 +1,307 @@
+"""Subgraph sampling for big-graph (node/edge-level) training.
+
+CSR-native re-implementation of the reference's torch-sparse-backed
+samplers (src/data/dataset_map.py:132-553):
+
+  - ego-k-hop neighbourhood expansion with per-hop fanout
+    (torch.ops.torch_sparse.ego_k_hop_sample_adj equivalent),
+  - node-induced subgraph extraction (saint_subgraph equivalent),
+  - link-prediction datasets with per-epoch positive subsetting
+    (percent with cyclic-epoch seeds, dataset_map.py:567-597) and
+    global / local (head/tail/edge-replacement) negative sampling
+    (dataset_map.py:600-683),
+  - target-edge removal during fine-tuning (dataset_map.py:556-564).
+
+A C++ fast path (graphgpt_tpu/native) can replace `ego_k_hop` for
+throughput; the numpy version is the semantic reference.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .graph import CSR, Graph
+
+
+def build_csr_directed(num_nodes: int, edge_index: np.ndarray):
+    """CSR over *directed* edges with original edge ids as values
+    (mirrors the SparseTensor adj_t the reference builds)."""
+    order = np.argsort(edge_index[0], kind="stable")
+    indptr = np.zeros(num_nodes + 1, np.int64)
+    counts = np.bincount(edge_index[0], minlength=num_nodes)
+    np.cumsum(counts, out=indptr[1:])
+    return indptr, edge_index[1][order].astype(np.int64), order.astype(np.int64)
+
+
+def ego_k_hop(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    seeds: Sequence[int],
+    depth: int,
+    fanout: int,
+    rng: np.random.Generator,
+    replace: bool = False,
+) -> np.ndarray:
+    """Sampled k-hop neighbourhood node set (sorted unique, seeds included)."""
+    visited = set(int(s) for s in seeds)
+    frontier = list(visited)
+    for _ in range(depth):
+        nxt = []
+        for node in frontier:
+            nbrs = indices[indptr[node] : indptr[node + 1]]
+            if len(nbrs) == 0:
+                continue
+            if fanout >= 0 and len(nbrs) > fanout:
+                if replace:
+                    nbrs = nbrs[rng.integers(0, len(nbrs), size=fanout)]
+                else:
+                    nbrs = rng.choice(nbrs, size=fanout, replace=False)
+            for nb in nbrs:
+                nb = int(nb)
+                if nb not in visited:
+                    visited.add(nb)
+                    nxt.append(nb)
+        frontier = nxt
+    return np.asarray(sorted(visited), np.int64)
+
+
+def induced_subgraph(
+    big: Graph, nodes: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(sub_edge_index relabeled, original edge column ids) for the
+    node-induced directed subgraph (saint_subgraph equivalent)."""
+    lookup = np.full(big.num_nodes, -1, np.int64)
+    lookup[nodes] = np.arange(len(nodes))
+    src_ok = lookup[big.edge_index[0]] >= 0
+    dst_ok = lookup[big.edge_index[1]] >= 0
+    mask = src_ok & dst_ok
+    eids = np.flatnonzero(mask)
+    sub = np.stack([lookup[big.edge_index[0][eids]], lookup[big.edge_index[1][eids]]])
+    return sub.astype(np.int32), eids
+
+
+class EgoNodeDataset:
+    """Per-seed-node ego subgraphs for node-level tasks (reference
+    ShaDowKHopSeqMapDataset, dataset_map.py:132-268)."""
+
+    def __init__(
+        self,
+        big: Graph,
+        depth_neighbors: Sequence[Tuple[int, int]],
+        sample_idx: Optional[np.ndarray] = None,
+        replace: bool = False,
+        seed: int = 0,
+        pretrain_mode: bool = False,
+    ):
+        self.big = big
+        self.depth_neighbors = list(depth_neighbors)
+        self.sample_idx = (
+            np.asarray(sample_idx, np.int64)
+            if sample_idx is not None
+            else np.arange(big.num_nodes, dtype=np.int64)
+        )
+        self.replace = replace
+        self.seed = seed
+        self.epoch = 0
+        self.pretrain_mode = pretrain_mode
+        self._indptr, self._indices, self._eid_order = build_csr_directed(
+            big.num_nodes, big.edge_index
+        )
+
+    def __len__(self):
+        return len(self.sample_idx)
+
+    def reset_samples(self, epoch: int, seed: int = 0):
+        self.epoch = epoch
+
+    def __getitem__(self, i: int) -> Graph:
+        seed_node = int(self.sample_idx[i])
+        rng = np.random.default_rng((self.seed, self.epoch, seed_node))
+        depth, fanout = self.depth_neighbors[rng.integers(len(self.depth_neighbors))]
+        nodes = ego_k_hop(
+            self._indptr, self._indices, [seed_node], depth, fanout, rng, self.replace
+        )
+        sub_ei, eids = induced_subgraph(self.big, nodes)
+        root = int(np.searchsorted(nodes, seed_node))
+        g = Graph(
+            num_nodes=len(nodes),
+            edge_index=sub_ei,
+            node_attr=None if self.big.node_attr is None else self.big.node_attr[nodes],
+            edge_attr=None if self.big.edge_attr is None else self.big.edge_attr[eids],
+            y=None if self.big.y is None else np.asarray(self.big.y).reshape(self.big.num_nodes, -1)[nodes],
+            root_n_id=np.asarray([root]),
+            idx=int(i),
+        )
+        return g
+
+
+# ---------------------------------------------------------------------------
+# Negative sampling (edge level)
+# ---------------------------------------------------------------------------
+def sample_pos_edges(
+    pos_edges: np.ndarray, percent: int, epoch: int, seed: int
+) -> np.ndarray:
+    """Cyclic non-repeating positive subsets: with percent=p, epochs
+    [0, 100/p) partition one permutation; the seed advances every cycle
+    (reference sample_pos_edges, dataset_map.py:567-597)."""
+    if percent >= 100:
+        return pos_edges
+    tot = pos_edges.shape[0]
+    period = int(round(100 / percent))
+    cyc_seed = seed + percent * epoch // 100
+    perm = np.random.default_rng(cyc_seed).permutation(tot)
+    cnt = int(round(tot * percent / 100.0))
+    cyc_epoch = epoch % period
+    return pos_edges[perm[cyc_epoch * cnt : (cyc_epoch + 1) * cnt]]
+
+
+def sample_neg_edges_global(
+    num_nodes: int,
+    existing: np.ndarray,  # [2, E] directed edge_index
+    count: int,
+    rng: np.random.Generator,
+) -> np.ndarray:
+    """Uniform (src, dst) pairs avoiding existing edges and self loops
+    (PyG negative_sampling semantics used at dataset_map.py:632-640)."""
+    existing_keys = set(
+        (existing[0].astype(np.int64) * num_nodes + existing[1]).tolist()
+    )
+    out = np.empty((count, 2), np.int64)
+    filled = 0
+    while filled < count:
+        n_draw = int((count - filled) * 1.5) + 8
+        src = rng.integers(0, num_nodes, n_draw)
+        dst = rng.integers(0, num_nodes, n_draw)
+        keys = src * num_nodes + dst
+        ok = (src != dst) & ~np.isin(
+            keys, np.fromiter(existing_keys, np.int64, len(existing_keys))
+        ) if len(existing_keys) < 1_000_000 else (src != dst)
+        if len(existing_keys) >= 1_000_000:
+            # large graphs: collision probability is negligible; match PyG's
+            # approximate rejection behaviour
+            ok = src != dst
+        take = min(int(ok.sum()), count - filled)
+        sel = np.flatnonzero(ok)[:take]
+        out[filled : filled + take, 0] = src[sel]
+        out[filled : filled + take, 1] = dst[sel]
+        filled += take
+    return out
+
+
+def sample_neg_edges_local(
+    pos_edges: np.ndarray,
+    num_nodes: int,
+    neg_ratio: int,
+    rng: np.random.Generator,
+    sample_heads: bool = True,
+    sample_tails: bool = True,
+) -> np.ndarray:
+    """Head/tail replacement negatives (reference sample_neg_edges_locally,
+    dataset_map.py:648-683)."""
+    cands = []
+    if sample_tails:
+        tails = rng.integers(0, num_nodes, pos_edges.shape[0])
+        cands.append(np.stack([pos_edges[:, 0], tails], axis=1))
+    if sample_heads:
+        heads = rng.integers(0, num_nodes, pos_edges.shape[0])
+        cands.append(np.stack([heads, pos_edges[:, 1]], axis=1))
+    all_c = np.concatenate(cands, axis=0)
+    want = neg_ratio * pos_edges.shape[0]
+    sel = rng.permutation(all_c.shape[0])[:want]
+    return all_c[sel]
+
+
+class EgoEdgeDataset:
+    """Link-prediction ego subgraphs around edge endpoints (reference
+    ShaDowKHopSeqFromEdgesMapDataset, dataset_map.py:271-553)."""
+
+    def __init__(
+        self,
+        big: Graph,
+        depth_neighbors: Sequence[Tuple[int, int]],
+        pos_edges: Optional[np.ndarray] = None,  # [N_p, 2]; None -> from edge_index
+        neg_edges: Optional[np.ndarray] = None,  # fixed eval negatives
+        neg_ratio: int = 1,
+        percent: int = 100,
+        method: str = "global",  # global|local
+        replace: bool = False,
+        seed: int = 0,
+        pretrain_mode: bool = False,
+    ):
+        self.big = big
+        self.depth_neighbors = list(depth_neighbors)
+        self.neg_ratio = neg_ratio
+        self.percent = percent
+        self.method = method
+        self.replace = replace
+        self.seed = seed
+        self.pretrain_mode = pretrain_mode
+        if pos_edges is None:
+            ei = big.edge_index
+            mask = ei[0] < ei[1]
+            pos_edges = ei[:, mask].T.astype(np.int64)
+        self.pos_edges_all = np.asarray(pos_edges, np.int64)
+        self.fixed_neg = None if neg_edges is None else np.asarray(neg_edges, np.int64)
+        self._indptr, self._indices, _ = build_csr_directed(
+            big.num_nodes, big.edge_index
+        )
+        self.epoch = 0
+        self.reset_samples(0, seed)
+
+    def reset_samples(self, epoch: int, seed: int = 42):
+        self.epoch = epoch
+        pos = sample_pos_edges(self.pos_edges_all, self.percent, epoch, seed)
+        rng = np.random.default_rng((seed, epoch, 7))
+        if self.fixed_neg is not None:
+            neg = self.fixed_neg
+        elif self.method == "global":
+            neg = sample_neg_edges_global(
+                self.big.num_nodes,
+                self.big.edge_index,
+                self.neg_ratio * pos.shape[0],
+                rng,
+            )
+        else:
+            neg = sample_neg_edges_local(
+                pos, self.big.num_nodes, self.neg_ratio, rng
+            )
+        y = np.concatenate(
+            [np.ones(pos.shape[0], np.int64), np.zeros(neg.shape[0], np.int64)]
+        )
+        self.edges_with_y = np.concatenate(
+            [np.concatenate([pos, neg], axis=0), y[:, None]], axis=1
+        )
+
+    def __len__(self):
+        return self.edges_with_y.shape[0]
+
+    def __getitem__(self, i: int) -> Graph:
+        src, dst, y = (int(x) for x in self.edges_with_y[i])
+        rng = np.random.default_rng((self.seed, self.epoch, int(i)))
+        depth, fanout = self.depth_neighbors[rng.integers(len(self.depth_neighbors))]
+        nodes = ego_k_hop(
+            self._indptr, self._indices, [src, dst], depth, fanout, rng, self.replace
+        )
+        sub_ei, eids = induced_subgraph(self.big, nodes)
+        r_src = int(np.searchsorted(nodes, src))
+        r_dst = int(np.searchsorted(nodes, dst))
+        if not self.pretrain_mode:
+            # remove the target edge in both directions (dataset_map.py:556-564)
+            keep = ~(
+                ((sub_ei[0] == r_src) & (sub_ei[1] == r_dst))
+                | ((sub_ei[0] == r_dst) & (sub_ei[1] == r_src))
+            )
+            sub_ei = sub_ei[:, keep]
+            eids = eids[keep]
+        g = Graph(
+            num_nodes=len(nodes),
+            edge_index=sub_ei,
+            node_attr=None if self.big.node_attr is None else self.big.node_attr[nodes],
+            edge_attr=None if self.big.edge_attr is None else self.big.edge_attr[eids],
+            y=np.asarray([y], np.int64),
+            root_n_id=np.asarray([r_src, r_dst]),
+            idx=int(i),
+        )
+        return g
