@@ -45,6 +45,16 @@ def ego_k_hop(
     replace: bool = False,
 ) -> np.ndarray:
     """Sampled k-hop neighbourhood node set (sorted unique, seeds included)."""
+    try:
+        from ..native import euler_native
+
+        out = euler_native.ego_k_hop(
+            indptr, indices, np.asarray(seeds, np.int64), depth, fanout, rng, replace
+        )
+        if out is not None:
+            return out
+    except Exception:
+        pass
     visited = set(int(s) for s in seeds)
     frontier = list(visited)
     for _ in range(depth):
