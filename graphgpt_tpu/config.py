@@ -67,6 +67,9 @@ class SemanticsConfig:
     edge: SemanticsAttrConfig = field(default_factory=SemanticsAttrConfig)
     graph: SemanticsAttrConfig = field(default_factory=SemanticsAttrConfig)
     reserved_tokens: Tuple[str, ...] = tuple(f"semantics_{i}" for i in range(10))
+    # instruction-tuning generators (reference semantics.instructions.func):
+    # homo_lumo|cepdb_prop_all
+    instruct_funcs: Tuple[str, ...] = ()
 
 
 @dataclass
@@ -97,6 +100,9 @@ class StructureConfig:
     icl_token: str = "<icl>"
     sep_token: str = "<sep>"
     reserved_tokens: Tuple[str, ...] = tuple(f"structure_{i}" for i in range(10))
+    # structure-understanding auxiliary tasks appended during pretraining
+    # (reference structure.nx.func list): degree|triangles|shortest_path|...
+    nx_funcs: Tuple[str, ...] = ()
 
 
 @dataclass

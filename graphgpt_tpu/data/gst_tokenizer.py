@@ -1,0 +1,310 @@
+"""Flat (non-stacked) GST tokenizer: one token per structural/attribute item.
+
+Re-implements the reference GSTTokenizer pipeline
+(src/data/tokenizer.py:428-535): Euler walk -> two-level cyclic node
+re-indexing -> edge-type tokens (<edge_in/out/bi/jump>, <edge_bi> elided
+when remove_edge_type_token) -> inline attribute tokens gated by the
+attr_assignment occurrence mask (first/last/random/all/mix,
+tokenizer_utils.get_mask_of_raw_seq:874-890) -> NTP labels with <new>-token
+substitution for unseen node ids under random re-indexing
+(nx_utils.get_labels_from_input_tokens:615-630) -> cyclic / node-cumsum
+position ids (tokenizer.py:664-677).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..config import TokenizationConfig
+from . import euler
+from .graph import Graph
+from .tokenizer import AttrColumnLookup, TokenizedSample, _polynomial_mask_ratio
+from .vocab import LABEL_PAD_ID
+
+PAD_ID = 0
+
+
+def occurrence_mask(keys: List, mode: str, rng: np.random.Generator) -> np.ndarray:
+    """1 where this occurrence of a key gets decorated with attributes."""
+    if mode == "mix":
+        mode = ("first", "last", "random")[rng.integers(3)]
+    positions: Dict = {}
+    for i, k in enumerate(keys):
+        positions.setdefault(k, []).append(i)
+    mask = np.zeros(len(keys), np.int8)
+    for occ in positions.values():
+        if mode == "first":
+            mask[occ[0]] = 1
+        elif mode == "last":
+            mask[occ[-1]] = 1
+        elif mode == "random":
+            mask[occ[rng.integers(len(occ))]] = 1
+        else:  # all
+            mask[occ] = 1
+    return mask
+
+
+class GSTTokenizer:
+    """Flat graph-sequence tokenizer."""
+
+    def __init__(
+        self,
+        cfg: TokenizationConfig,
+        vocab_map: Dict[str, int],
+        task_type: str = "pretrain",
+        mlm_cfg=None,
+    ):
+        self.cfg = cfg
+        self.vocab_map = vocab_map
+        self.task_type = task_type
+        self.mlm_cfg = mlm_cfg
+        self.vocab_size = max(vocab_map.values()) + 1
+        s = cfg.structure
+        self.scope = s.node.node_scope
+        self.base = s.node.scope_base
+        self.cyclic = int(s.node.cyclic)
+        self.eos_id = vocab_map[s.node.eos_token]
+        self.bos_id = vocab_map[s.node.bos_token]
+        self.mask_id = vocab_map[s.mask_token]
+        self.gsum_id = vocab_map.get(s.summary_token, 0)
+        self.new_node_id = vocab_map.get(s.node.new_node_token, LABEL_PAD_ID)
+        self.jump_id = vocab_map[s.edge.jump_token]
+        self.edge_type_ids = np.asarray(
+            [
+                vocab_map[s.edge.jump_token],
+                vocab_map[s.edge.in_token],
+                vocab_map[s.edge.out_token],
+                vocab_map[s.edge.bi_token],
+            ],
+            np.int32,
+        )  # indexed by euler.EDGE_* codes
+        self.bi_id = vocab_map[s.edge.bi_token]
+        self.remove_bi = s.edge.remove_edge_type_token
+        # low-level structural idx tokens + high-level k*base tokens
+        self.low_ids = np.asarray([vocab_map[str(i)] for i in range(self.base)], np.int32)
+        import math
+
+        high = int(math.ceil(self.scope / self.base))
+        self.high_ids = np.asarray(
+            [0] + [vocab_map[f"{k}*{self.base}"] for k in range(1, high)], np.int32
+        )
+        self.node_idx_token_ids = set(self.low_ids.tolist())
+        sem = cfg.semantics
+        world = cfg.attr_world_identifier
+        self.node_dim = sem.node.dim if sem.node.discrete else 0
+        self.edge_dim = sem.edge.dim if sem.edge.discrete else 0
+        self.node_lookup = (
+            AttrColumnLookup(vocab_map, world, "node", self.node_dim, sem.node.share_vocab)
+            if self.node_dim
+            else None
+        )
+        self.edge_lookup = (
+            AttrColumnLookup(vocab_map, world, "edge", self.edge_dim, sem.edge.share_vocab)
+            if self.edge_dim
+            else None
+        )
+        self.node_ignored = sem.node.ignored_val
+        self.edge_ignored = sem.edge.ignored_val
+        self.label_pad_ids = {vocab_map[t] for t in cfg.label_tokens_to_pad if t in vocab_map}
+
+    # ------------------------------------------------------------------
+    def _idx_tokens(self, rank: int) -> List[int]:
+        hi, lo = divmod(int(rank), self.base)
+        if hi > 0:
+            return [int(self.high_ids[hi]), int(self.low_ids[lo])]
+        return [int(self.low_ids[lo])]
+
+    def tokenize_ids(
+        self, graph: Graph, rng: np.random.Generator
+    ) -> Tuple[List[int], np.ndarray, np.ndarray, np.ndarray]:
+        walk = euler.graph_to_walk(graph, rng)
+        ranks = euler.walk_node_ranks(walk, self.scope, self.cyclic, rng)
+        etypes = euler.walk_edge_types(graph, walk)
+        erows = euler.walk_edge_attr_rows(graph, walk)
+        # occurrence mask over the interleaved raw sequence
+        raw_keys: List = []
+        for i in range(len(walk)):
+            raw_keys.append(("n", int(walk[i])))
+            if i < len(walk) - 1:
+                a, b = int(walk[i]), int(walk[i + 1])
+                raw_keys.append(("e", (min(a, b), max(a, b))))
+        mask = occurrence_mask(raw_keys, self.cfg.semantics.attr_assignment, rng)
+
+        node_attr_ids = (
+            self.node_lookup(graph.node_attr) if self.node_dim else None
+        )
+        tokens: List[int] = []
+        is_node_idx: List[bool] = []
+
+        def emit(tok: int, node_like: bool = False):
+            tokens.append(int(tok))
+            is_node_idx.append(node_like)
+
+        mi = 0
+        for i in range(len(walk)):
+            for t in self._idx_tokens(ranks[i]):
+                emit(t, node_like=True)
+            if mask[mi] and self.node_dim:
+                for c in range(self.node_dim):
+                    val = graph.node_attr[walk[i], c]
+                    if self.node_ignored is not None and int(val) == int(self.node_ignored):
+                        continue
+                    emit(node_attr_ids[walk[i], c])
+            mi += 1
+            if i < len(walk) - 1:
+                et = etypes[i]
+                if not (self.remove_bi and et == euler.EDGE_BI):
+                    emit(self.edge_type_ids[et])
+                if mask[mi] and self.edge_dim and erows[i] >= 0:
+                    eattr = self.edge_lookup(graph.edge_attr[erows[i]][None, :])[0]
+                    for c in range(self.edge_dim):
+                        val = graph.edge_attr[erows[i], c]
+                        if self.edge_ignored is not None and int(val) == int(self.edge_ignored):
+                            continue
+                        emit(eattr[c])
+                mi += 1
+        return tokens, walk, np.asarray(is_node_idx), ranks
+
+    def labels_for(self, tokens: List[int]) -> List[int]:
+        """NTP labels = shift-by-one + eos; under random re-indexing a node
+        token not seen earlier becomes <new> (nx_utils.py:615-630)."""
+        labels = tokens[1:] + [self.eos_id]
+        if self.cyclic == 2:
+            seen: set = set()
+            for i, lab in enumerate(labels):
+                if lab in self.node_idx_token_ids and lab not in seen:
+                    labels[i] = self.new_node_id
+                seen.add(tokens[i])
+        if self.label_pad_ids:
+            labels = [
+                LABEL_PAD_ID if t in self.label_pad_ids else t for t in labels
+            ]
+        return labels
+
+    def position_ids_for(self, tokens: List[int], is_node_idx: np.ndarray, rng) -> np.ndarray:
+        if self.cyclic:
+            # v3: cumulative count of node-idx/eos/jump/gsum tokens
+            # (tokenizer.py:674-677)
+            special = {self.eos_id, self.jump_id, self.gsum_id}
+            tf = np.asarray(
+                [
+                    1 if (flag or t in special) else 0
+                    for t, flag in zip(tokens, is_node_idx)
+                ],
+                np.int64,
+            )
+            return (np.cumsum(tf) - 1).clip(0).astype(np.int32)
+        return np.arange(len(tokens), dtype=np.int32)
+
+    def _aux_streams(self, graph, walk, ranks, rng):
+        """Structure-task + instruction token/label streams appended after
+        the main Euler sequence (tokenizer.py:498-523)."""
+        tokens: list = []
+        labels: list = []
+        nx_funcs = list(self.cfg.structure.nx_funcs)
+        if nx_funcs:
+            from .structure_tasks import structure_task_tokens
+
+            node_token_ids = np.zeros(graph.num_nodes, np.int32)
+            node_token_ids[walk] = self.low_ids[np.asarray(ranks) % self.base]
+            t, l = structure_task_tokens(
+                graph, nx_funcs, node_token_ids, self.cfg, self.vocab_map, self.eos_id, rng
+            )
+            tokens += t
+            labels += l
+        inst_funcs = list(self.cfg.semantics.instruct_funcs)
+        if inst_funcs:
+            from .structure_tasks import instruction_tokens
+
+            t, l = instruction_tokens(
+                graph, inst_funcs, self.cfg, self.vocab_map, self.eos_id, rng
+            )
+            tokens += t
+            labels += l
+        return tokens, labels
+
+    # ------------------------------------------------------------------
+    def __call__(self, graph: Graph, rng: np.random.Generator) -> TokenizedSample:
+        tokens, walk, is_node_idx, ranks = self.tokenize_ids(graph, rng)
+        task = self.task_type
+        if task in ("pretrain", "pretrain-ltp", "pretrain-euler"):
+            labels = self.labels_for(tokens)
+            if task == "pretrain-ltp":
+                labels = [LABEL_PAD_ID] * (len(labels) - 1) + labels[-1:]
+            # auxiliary structure-understanding / instruction streams
+            extra_t, extra_l = self._aux_streams(graph, walk, ranks, rng)
+            if extra_t:
+                tokens = tokens + extra_t
+                labels = labels + extra_l
+                is_node_idx = np.concatenate(
+                    [is_node_idx, np.zeros(len(extra_t), bool)]
+                )
+            ids = np.asarray(tokens, np.int32)
+            lab = np.asarray(labels, np.int32)
+            pos = self.position_ids_for(tokens, is_node_idx, rng)
+            return TokenizedSample(
+                input_ids=ids,
+                labels=lab,
+                position_ids=pos,
+                attention_mask=np.ones(len(tokens), np.int8),
+                segment_lengths=[len(tokens)],
+            )
+        if task == "pretrain-mlm":
+            # flat BERT-style masking (tokenizer_utils._mask_input_ids:175-203)
+            tokens = tokens + [self.eos_id]
+            ids = np.asarray(tokens, np.int32)
+            alpha_t, wgt = _polynomial_mask_ratio(self.mlm_cfg, rng)
+            n = len(tokens)
+            k = int(np.ceil(n * alpha_t))
+            chosen = rng.choice(n, size=min(k, n), replace=False)
+            labels = np.full(n, LABEL_PAD_ID, np.int32)
+            labels[chosen] = ids[chosen]
+            masked = ids.copy()
+            masked[chosen] = self.mask_id
+            pos = self.position_ids_for(tokens, np.append(is_node_idx, True), rng)
+            return TokenizedSample(
+                input_ids=masked,
+                labels=labels,
+                position_ids=pos,
+                attention_mask=np.ones(n, np.int8),
+                wgt=float(wgt) if (self.mlm_cfg and self.mlm_cfg.dlm_wgt) else None,
+                segment_lengths=[n],
+            )
+        if task == "graph":
+            tokens = tokens + [self.eos_id, self.gsum_id]
+            ids = np.asarray(tokens, np.int32)
+            pos = self.position_ids_for(
+                tokens, np.concatenate([is_node_idx, [True, True]]), rng
+            )
+            return TokenizedSample(
+                input_ids=ids,
+                labels=np.full(len(tokens), LABEL_PAD_ID, np.int32),
+                position_ids=pos,
+                attention_mask=np.ones(len(tokens), np.int8),
+                graph_labels=np.asarray(graph.y, np.float32).reshape(-1),
+                segment_lengths=[len(tokens)],
+            )
+        if task == "node":
+            pos_in_walk = int(np.flatnonzero(walk == int(np.asarray(graph.root_n_id).reshape(-1)[0]))[0])
+            tgt_tokens = self._idx_tokens(ranks[pos_in_walk])
+            tokens = tokens + [self.eos_id] + tgt_tokens
+            ids = np.asarray(tokens, np.int32)
+            y = np.asarray(graph.y).reshape(graph.num_nodes, -1)[
+                np.asarray(graph.root_n_id).reshape(-1)[0]
+            ]
+            pos = self.position_ids_for(
+                tokens,
+                np.concatenate([is_node_idx, [True] * (1 + len(tgt_tokens))]),
+                rng,
+            )
+            return TokenizedSample(
+                input_ids=ids,
+                labels=np.full(len(tokens), LABEL_PAD_ID, np.int32),
+                position_ids=pos,
+                attention_mask=np.ones(len(tokens), np.int8),
+                node_labels=np.asarray(y, np.float32).reshape(-1),
+                segment_lengths=[len(tokens)],
+            )
+        raise NotImplementedError(f"GSTTokenizer task {task!r}")

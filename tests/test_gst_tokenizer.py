@@ -1,0 +1,133 @@
+"""Flat GSTTokenizer: structure tokens, attr masks, labels, positions."""
+
+import numpy as np
+import pytest
+
+from graphgpt_tpu.config import TokenizationConfig
+from graphgpt_tpu.data import vocab as V
+from graphgpt_tpu.data.datasets import MOL_EDGE_CARD, MOL_NODE_CARD, SyntheticMolDataset
+from graphgpt_tpu.data.gst_tokenizer import GSTTokenizer, occurrence_mask
+from graphgpt_tpu.data.vocab import LABEL_PAD_ID
+
+
+def make(cyclic=1, scope=512, base=512, task="pretrain", attr_assignment="first"):
+    cfg = TokenizationConfig()
+    cfg.semantics.node.discrete = "node_attr"
+    cfg.semantics.node.dim = 9
+    cfg.semantics.edge.discrete = "edge_attr"
+    cfg.semantics.edge.dim = 3
+    cfg.semantics.attr_assignment = attr_assignment
+    cfg.structure.node.node_scope = scope
+    cfg.structure.node.scope_base = base
+    cfg.structure.node.cyclic = cyclic
+    vocab = V.build_vocab(
+        cfg, [np.arange(c) for c in MOL_NODE_CARD], [np.arange(c) for c in MOL_EDGE_CARD]
+    )
+    vm = V.vocab_map_from_list(vocab)
+    from graphgpt_tpu.config import MlmScheduleConfig
+
+    return GSTTokenizer(cfg, vm, task_type=task, mlm_cfg=MlmScheduleConfig()), vm
+
+
+def test_occurrence_mask_first():
+    keys = ["a", "b", "a", "c", "b"]
+    m = occurrence_mask(keys, "first", np.random.default_rng(0))
+    assert m.tolist() == [1, 1, 0, 1, 0]
+    m = occurrence_mask(keys, "last", np.random.default_rng(0))
+    assert m.tolist() == [0, 0, 1, 1, 1]
+    m = occurrence_mask(keys, "all", np.random.default_rng(0))
+    assert m.tolist() == [1, 1, 1, 1, 1]
+
+
+def test_flat_pretrain_sample():
+    tok, vm = make()
+    ds = SyntheticMolDataset(4, seed=0)
+    s = tok(ds[0], np.random.default_rng(0))
+    assert s.input_ids.ndim == 1
+    assert s.labels.shape == s.input_ids.shape
+    # labels are inputs shifted by one, ending in eos
+    np.testing.assert_array_equal(s.labels[:-1], s.input_ids[1:])
+    assert s.labels[-1] == tok.eos_id
+    # v3 cumsum positions: nondecreasing, start 0
+    assert s.position_ids[0] == 0
+    assert (np.diff(s.position_ids) >= 0).all()
+
+
+def test_first_assignment_attrs_once_per_node():
+    tok, vm = make(attr_assignment="first")
+    ds = SyntheticMolDataset(4, seed=1)
+    g = ds[0]
+    s = tok(g, np.random.default_rng(0))
+    # each node contributes exactly 9 node-attr tokens (first occurrence)
+    attr_id_set = set()
+    for ids in tok.node_lookup._ids:
+        attr_id_set.update(np.asarray(ids).tolist())
+    n_attr_tokens = sum(1 for t in s.input_ids.tolist() if t in attr_id_set)
+    assert n_attr_tokens == g.num_nodes * 9
+
+
+def test_two_level_node_ids():
+    tok, vm = make(scope=512, base=16)
+    ds = SyntheticMolDataset(4, seed=2, min_nodes=20, max_nodes=30)
+    s = tok(ds[0], np.random.default_rng(0))
+    # some structural index >= 16 must emit a high-level "k*16" token
+    high_ids = set(tok.high_ids[1:].tolist())
+    assert high_ids & set(s.input_ids.tolist())
+
+
+def test_random_mapping_new_token_labels():
+    tok, vm = make(cyclic=2)
+    ds = SyntheticMolDataset(4, seed=3)
+    s = tok(ds[0], np.random.default_rng(0))
+    assert vm["<new>"] in s.labels.tolist()
+
+
+def test_flat_mlm_task():
+    tok, vm = make(task="pretrain-mlm")
+    ds = SyntheticMolDataset(4, seed=4)
+    s = tok(ds[0], np.random.default_rng(0))
+    sel = s.labels != LABEL_PAD_ID
+    assert sel.sum() > 0
+    assert (s.input_ids[sel] == tok.mask_id).all()
+
+
+def test_graph_task_appends_eos_gsum():
+    tok, vm = make(task="graph")
+    ds = SyntheticMolDataset(4, seed=5)
+    s = tok(ds[0], np.random.default_rng(0))
+    assert s.input_ids[-2] == tok.eos_id
+    assert s.input_ids[-1] == tok.gsum_id
+    assert s.graph_labels is not None
+
+
+def test_node_task_appends_target():
+    tok, vm = make(task="node")
+    ds = SyntheticMolDataset(4, seed=6)
+    g = ds[0]
+    g.root_n_id = np.asarray([1])
+    g.y = np.zeros((g.num_nodes, 1), np.int64)
+    g.y[1] = 2
+    s = tok(g, np.random.default_rng(0))
+    assert s.node_labels.tolist() == [2.0]
+    assert s.input_ids[-2] == tok.eos_id
+    assert int(s.input_ids[-1]) in set(tok.low_ids.tolist())
+
+
+def test_structure_and_instruct_streams():
+    tok, vm = make()
+    tok.cfg.structure.nx_funcs = (
+        "degree",
+        "triangles",
+        "shortest_path",
+        "shortest_path_length",
+    )
+    tok.cfg.semantics.instruct_funcs = ("homo_lumo",)
+    ds = SyntheticMolDataset(4, seed=0)
+    s = tok(ds[0], np.random.default_rng(0))
+    toks = s.input_ids.tolist()
+    for t in ("structure_0", "structure_1", "structure_2", "structure_3", "semantics_0"):
+        assert vm[t] in toks, t
+    assert len(s.labels) == len(s.input_ids)
+    # the task marker positions carry label padding (prefix skipped)
+    i = toks.index(vm["structure_0"])
+    assert s.labels[i] == LABEL_PAD_ID
