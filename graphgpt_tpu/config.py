@@ -173,6 +173,32 @@ class ModelConfig:
     smtp_inside: bool = False
     smtp_power: float = 1.0
 
+    # 3D-position pretrain head (GraphGPTPosPred; reference
+    # configs/model/base.yaml pos_pt_head block)
+    pos_problem_type: str = "pos-smtp-line"  # pos-smtp-line|pos-smtp-cube
+    pos_num_bins: int = 256  # line bins (or cube bins per axis)
+    smtp_3d_power: float = 1.0  # -1 cosine, -2 arccos, else polynomial
+    smtp_3d_noise_scale: float = 0.2
+    coord_lvl_mask: bool = True
+    pos_agg_method: str = "sum"  # sum|gated for the 3-coord line tokens
+    smtp_2d_rate: float = 0.1
+    sep_2d3d_inputs: bool = True
+    pos_range: str = "p1p"
+    loss_agg: str = "token-lvl"  # token-lvl|sample-lvl
+
+    # denoising double-heads FT head (reference denoise_head block)
+    noise_scale: float = 0.35
+    denoise_wgt: float = 1.0
+    denoise_schedule_pow: float = 0.0
+    bi_causal_split: int = 0  # >0: binary-energy decoding suffix length
+    r_2d: float = 4.0
+    r_3d: float = 0.0
+    r_both: float = 6.0
+    add_pos_type: bool = True
+    smtp_3d: bool = False
+    smtp_wgt: float = 1.0
+    smtp_vocab: int = 256
+
     # finetune head
     task_type: str = "pretrain-mlm"
     problem_type: str = ""  # regression|single_label_classification|multi_label_classification

@@ -227,15 +227,33 @@ class StackedGSTTokenizer:
                 wgt=float(wgt) if self.mlm_cfg.dlm_wgt else None,
                 segment_lengths=[p],
             )
-        if task in ("pretrain", "pretrain-smtp"):
+        if task in ("pretrain", "pretrain-smtp", "pretrain-coord", "pretrain-smtp-3d"):
             # NTP labels: next row; SMTP-inside masks on device.
             labels = np.concatenate([ids[1:], np.full((1, ids.shape[1]), self.eos_id, np.int32)])
+            extras = {}
+            if task != "pretrain":
+                # node decoration for in-model SMTP / 3D position pretrain
+                # (reference _attach_node_mask_to_inputs,
+                # tokenizer_utils.py:453-468): node_idx = raw id + 1 (0 at eos)
+                raw_idx = np.concatenate([walk, [-1]])
+                extras["node_idx"] = (raw_idx + 1).astype(np.int32)
+                from .mol3d import ROTATIONS, pos_type_from_node_index
+
+                extras["pos_type"] = pos_type_from_node_index(raw_idx).astype(np.int32)
+                if graph.pos is not None:
+                    pos = ROTATIONS[self.cfg.rotation](
+                        np.asarray(graph.pos, np.float32), rng
+                    )
+                    row_pos = np.zeros((p, 3), np.float32)
+                    row_pos[:-1] = pos[walk]
+                    extras["pos"] = row_pos
             return TokenizedSample(
                 input_ids=ids,
                 labels=labels,
                 position_ids=position_ids,
                 attention_mask=attention_mask,
                 segment_lengths=[p],
+                extras=extras,
             )
         if task == "graph":
             labels = np.full_like(ids, LABEL_PAD_ID)

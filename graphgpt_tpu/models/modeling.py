@@ -213,7 +213,8 @@ def backbone_apply(
         v = (hpre @ lp["v"].astype(dt)).reshape(b, p, hkv, dh)
         q, k = apply_rope(q, k, cos, sin)
         attn_out = attention(
-            q, k, v, segment_ids, causal=cfg.causal_attention, impl=cfg.attn_impl
+            q, k, v, segment_ids, causal=cfg.causal_attention, impl=cfg.attn_impl,
+            bi_causal_split=cfg.bi_causal_split,
         )
         attn_out = attn_out.reshape(b, p, h * dh) @ lp["o"].astype(dt)
         attn_out = _dropout(attn_out, cfg.attention_dropout, r_adrop, train)

@@ -19,14 +19,27 @@ import jax.numpy as jnp
 _NEG_INF = -1e30
 
 
-def _mask_logits(logits, segment_ids, causal):
-    """logits [B, H, P, P] += additive mask from segments/causality."""
+def _mask_logits(logits, segment_ids, causal, bi_causal_split: int = 0):
+    """logits [B, H, P, P] += additive mask from segments/causality.
+
+    bi_causal_split > 0 selects the mixed mode of the reference's
+    binary-energy decoding (attn_mask_utils._prepare_4d_bi_causal_attention
+    _mask:128-155): rows before `split = P - bi_causal_split` attend the
+    bidirectional prefix only; rows at/after attend causally to everything.
+    """
     seg_q = segment_ids[:, None, :, None]
     seg_k = segment_ids[:, None, None, :]
     valid = (seg_q == seg_k) & (seg_k > 0)
-    if causal:
-        p = logits.shape[-1]
-        idx = jnp.arange(p)
+    p = logits.shape[-1]
+    idx = jnp.arange(p)
+    if bi_causal_split > 0:
+        split = p - bi_causal_split
+        qi = idx[None, None, :, None]
+        kj = idx[None, None, None, :]
+        bi_rows = (qi < split) & (kj < split)
+        causal_rows = (qi >= split) & (kj <= qi)
+        valid = valid & (bi_rows | causal_rows)
+    elif causal:
         valid = valid & (idx[None, None, :, None] >= idx[None, None, None, :])
     return jnp.where(valid, logits, _NEG_INF)
 
@@ -38,6 +51,7 @@ def xla_attention(
     segment_ids: jnp.ndarray,  # [B, P]
     causal: bool = False,
     softmax_scale: float | None = None,
+    bi_causal_split: int = 0,
 ) -> jnp.ndarray:
     """Reference attention: einsum + masked softmax, fp32 accumulation.
 
@@ -54,7 +68,7 @@ def xla_attention(
     logits = jnp.einsum(
         "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
     ) * scale
-    logits = _mask_logits(logits, segment_ids, causal)
+    logits = _mask_logits(logits, segment_ids, causal, bi_causal_split)
     probs = jax.nn.softmax(logits, axis=-1)
     # fully-masked (padding) rows produce uniform probs; zero them out
     row_valid = (segment_ids > 0)[:, None, :, None]
@@ -68,7 +82,7 @@ def xla_attention(
 
 def attention(
     q, k, v, segment_ids, causal: bool = False, impl: str = "auto",
-    softmax_scale: float | None = None,
+    softmax_scale: float | None = None, bi_causal_split: int = 0,
 ):
     """Dispatch to the Pallas flash kernel or the XLA fallback.
 
@@ -78,11 +92,11 @@ def attention(
     """
     if impl == "auto":
         on_tpu = jax.default_backend() == "tpu"
-        impl = "pallas" if (on_tpu and q.shape[1] > 1024) else "xla"
+        impl = "pallas" if (on_tpu and q.shape[1] > 1024 and bi_causal_split == 0) else "xla"
     if impl == "pallas":
         from .flash_attention import flash_attention
 
         return flash_attention(
             q, k, v, segment_ids, causal=causal, softmax_scale=softmax_scale
         )
-    return xla_attention(q, k, v, segment_ids, causal, softmax_scale)
+    return xla_attention(q, k, v, segment_ids, causal, softmax_scale, bi_causal_split)

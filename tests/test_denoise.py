@@ -1,0 +1,114 @@
+"""Denoising double-heads model + bi-causal attention."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graphgpt_tpu.config import ModelConfig
+from graphgpt_tpu.models import denoise
+from graphgpt_tpu.ops.attention import xla_attention
+
+
+def _cfg(**kw):
+    cfg = ModelConfig(
+        vocab_size=80,
+        hidden_size=32,
+        num_hidden_layers=2,
+        head_dim=8,
+        num_attention_heads=4,
+        intermediate_size=64,
+        stacked_feat=4,
+        next_n_token=1,
+        mask_token_id=1,
+        dtype="float32",
+        task_type="graph",
+        problem_type="regression",
+        loss_type="l1",
+        num_labels=1,
+        pos_num_bins=16,
+    )
+    for k, v in kw.items():
+        setattr(cfg, k, v)
+    return cfg.finalize()
+
+
+def _batch(cfg, b=2, p=20):
+    rng = np.random.default_rng(0)
+    ids = rng.integers(2, cfg.vocab_size, size=(b, p, cfg.stacked_feat)).astype(np.int32)
+    node_idx = np.tile(np.arange(p), (b, 1)).astype(np.int32)
+    return {
+        "input_ids": jnp.asarray(ids),
+        "position_ids": jnp.tile(jnp.arange(p), (b, 1)),
+        "segment_ids": jnp.ones((b, p), jnp.int32),
+        "pos_type": jnp.asarray(np.clip(node_idx + 1, 0, 4)),
+        "node_idx": jnp.asarray(node_idx + 1),
+        "pos": jnp.asarray(rng.normal(size=(b, p, 3)).astype(np.float32)),
+        "graph_labels": jnp.asarray(rng.normal(5, 1, size=(b, 1)).astype(np.float32)),
+    }
+
+
+def test_denoise_forward_and_grads():
+    cfg = _cfg()
+    params = denoise.init_denoise_params(cfg, jax.random.PRNGKey(0))
+    batch = _batch(cfg)
+    fn = jax.jit(lambda p, b, r: denoise.denoise_forward(p, cfg, b, rng=r, train=True))
+    out = fn(params, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(out["loss"]))
+    assert np.isfinite(float(out["task_loss"]))
+    assert np.isfinite(float(out["pretrain_loss"]))  # denoise loss
+    g = jax.jit(
+        jax.grad(lambda p: denoise.denoise_forward(p, cfg, batch, rng=jax.random.PRNGKey(1), train=True)["loss"])
+    )(params)
+    assert float(jnp.abs(g["denoise"]["force_w"]).sum()) > 0
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree_util.tree_leaves(g))
+
+
+def test_denoise_bicausal_energy():
+    cfg = _cfg(bi_causal_split=16)
+    params = denoise.init_denoise_params(cfg, jax.random.PRNGKey(0))
+    batch = _batch(cfg, p=40)
+    out = jax.jit(lambda p, b: denoise.denoise_forward(p, cfg, b, rng=jax.random.PRNGKey(0), train=True))(params, batch)
+    assert np.isfinite(float(out["task_loss"]))
+    assert out["task_logits"].shape == (2, 1)
+
+
+def test_bi_causal_mask_structure():
+    """Bidirectional prefix cannot see the causal suffix; suffix is causal."""
+    rng = np.random.default_rng(0)
+    b, p, h, d = 1, 12, 2, 8
+    q = jnp.asarray(rng.normal(size=(b, p, h, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, p, h, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, p, h, d)), jnp.float32)
+    seg = jnp.ones((b, p), jnp.int32)
+    split = 4  # suffix of length 4
+    out1 = xla_attention(q, k, v, seg, bi_causal_split=split)
+    # changing the last suffix position must not affect prefix outputs
+    v2 = v.at[:, -1].set(v[:, -1] + 10)
+    out2 = xla_attention(q, k, v2, seg, bi_causal_split=split)
+    np.testing.assert_allclose(
+        np.asarray(out1[:, : p - split]), np.asarray(out2[:, : p - split]), rtol=1e-5
+    )
+    # suffix rows see everything before them (changing prefix changes suffix)
+    v3 = v.at[:, 0].set(v[:, 0] + 10)
+    out3 = xla_attention(q, k, v3, seg, bi_causal_split=split)
+    assert not np.allclose(np.asarray(out1[:, -1]), np.asarray(out3[:, -1]))
+
+
+def test_atom_task_head_equivariance_direction():
+    """Force output lives in the displacement span: translating all
+    positions leaves delta_pos (and forces) unchanged."""
+    cfg = _cfg()
+    params = denoise.init_denoise_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    b, p = 1, 8
+    hidden = jnp.asarray(rng.normal(size=(b, p, cfg.hidden_size)), jnp.float32)
+    pos = rng.normal(size=(b, p, 3)).astype(np.float32)
+    posj = jnp.asarray(pos)
+    def dp(x):
+        d = x[:, :, None, :] - x[:, None, :, :]
+        return d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + 1.0)
+    pids = jnp.tile(jnp.arange(p), (b, 1))
+    f1 = denoise.atom_task_head(params["denoise"], hidden, pids, dp(posj), cfg)
+    f2 = denoise.atom_task_head(params["denoise"], hidden, pids, dp(posj + 5.0), cfg)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), rtol=1e-5)

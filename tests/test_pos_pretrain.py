@@ -1,0 +1,146 @@
+"""3D position pretrain model + mol3d utilities."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graphgpt_tpu.config import ModelConfig
+from graphgpt_tpu.data import mol3d
+from graphgpt_tpu.models import pos_pretrain
+
+
+def test_anchor_rotation_canonical():
+    rng = np.random.default_rng(0)
+    pos = rng.normal(size=(6, 3)).astype(np.float32)
+    out = mol3d.anchor_rotate(pos)
+    np.testing.assert_allclose(out[0], 0, atol=1e-5)  # node 0 at origin
+    np.testing.assert_allclose(out[1, :2], 0, atol=1e-5)  # node 1 on z-axis
+    assert out[1, 2] > 0  # positive z
+    np.testing.assert_allclose(out[2, 0], 0, atol=1e-5)  # node 2 in y-z plane
+    # pairwise distances preserved
+    d0 = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
+    d1 = np.linalg.norm(out[:, None] - out[None, :], axis=-1)
+    np.testing.assert_allclose(d0, d1, rtol=1e-4, atol=1e-4)
+
+
+def test_trans_rotate_preserves_distances():
+    rng = np.random.default_rng(1)
+    pos = rng.normal(size=(5, 3)).astype(np.float32)
+    out = mol3d.trans_rotate_random(pos, rng)
+    np.testing.assert_allclose(out.mean(0), 0, atol=1e-5)
+    d0 = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
+    d1 = np.linalg.norm(out[:, None] - out[None, :], axis=-1)
+    np.testing.assert_allclose(d0, d1, rtol=1e-4, atol=1e-4)
+
+
+def test_discrete_pos_bins():
+    pos = np.asarray([[-100, 0, 100]], np.float32).T.reshape(1, 3)
+    bins = mol3d.discrete_pos(pos, 256)
+    assert bins.min() >= 0 and bins.max() <= 255
+    assert bins[0, 0] == 0 and bins[0, 2] == 255
+
+
+def test_pos_type():
+    assert mol3d.pos_type_from_node_index(np.asarray([-1, 0, 1, 2, 3, 9])).tolist() == [
+        0, 1, 2, 3, 4, 4,
+    ]
+
+
+def _cfg(problem="pos-smtp-line"):
+    return ModelConfig(
+        vocab_size=80,
+        hidden_size=32,
+        num_hidden_layers=2,
+        head_dim=8,
+        num_attention_heads=4,
+        intermediate_size=64,
+        stacked_feat=4,
+        next_n_token=4,
+        mask_token_id=1,
+        dtype="float32",
+        pos_problem_type=problem,
+        pos_num_bins=16,
+    ).finalize()
+
+
+def _batch(cfg, b=2, p=12):
+    rng = np.random.default_rng(0)
+    ids = rng.integers(2, cfg.vocab_size, size=(b, p, cfg.stacked_feat)).astype(np.int32)
+    node_idx = np.tile(np.arange(p), (b, 1)).astype(np.int32)
+    return {
+        "input_ids": jnp.asarray(ids),
+        "position_ids": jnp.tile(jnp.arange(p), (b, 1)),
+        "segment_ids": jnp.ones((b, p), jnp.int32),
+        "pos_type": jnp.asarray(np.clip(node_idx + 1, 0, 4)),
+        "node_idx": jnp.asarray(node_idx + 1),
+        "pos": jnp.asarray(rng.normal(size=(b, p, 3)).astype(np.float32)),
+    }
+
+
+@pytest.mark.parametrize("problem", ["pos-smtp-line", "pos-smtp-cube"])
+def test_pos_pred_forward_and_grads(problem):
+    cfg = _cfg(problem)
+    params = pos_pretrain.init_pos_pred_params(cfg, jax.random.PRNGKey(0))
+    batch = _batch(cfg)
+
+    fn = jax.jit(
+        lambda p, b, r: pos_pretrain.pos_pred_forward(p, cfg, b, rng=r, train=True)["loss"]
+    )
+    loss = fn(params, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    grads = jax.jit(jax.grad(lambda p: pos_pretrain.pos_pred_forward(p, cfg, _batch(cfg), rng=jax.random.PRNGKey(1), train=True)["loss"]))(params)
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    assert float(jnp.abs(grads["embed_pos_token"]).sum()) > 0
+
+
+def test_pos_pred_tokenizer_integration():
+    """pretrain-smtp extras feed the pos model end-to-end."""
+    from graphgpt_tpu.config import Config
+    from graphgpt_tpu.data.collator import collate
+    from graphgpt_tpu.data.datasets import (
+        MOL_EDGE_CARD,
+        MOL_NODE_CARD,
+        SyntheticMolDataset,
+    )
+    from graphgpt_tpu.data import vocab as V
+    from graphgpt_tpu.data.tokenizer import StackedGSTTokenizer
+
+    c = Config()
+    c.tokenization.semantics.node.discrete = "node_attr"
+    c.tokenization.semantics.node.dim = 9
+    c.tokenization.semantics.edge.discrete = "edge_attr"
+    c.tokenization.semantics.edge.dim = 3
+    vm = V.vocab_map_from_list(
+        V.build_vocab(
+            c.tokenization,
+            [np.arange(x) for x in MOL_NODE_CARD],
+            [np.arange(x) for x in MOL_EDGE_CARD],
+        )
+    )
+    tok = StackedGSTTokenizer(c.tokenization, vm, task_type="pretrain-smtp")
+    ds = SyntheticMolDataset(4, seed=0, with_pos=True)
+    rng = np.random.default_rng(0)
+    samples = [tok(ds[i], rng) for i in range(4)]
+    assert "pos" in samples[0].extras and "node_idx" in samples[0].extras
+    batch = collate(samples, mpe=128)
+    cfg = ModelConfig(
+        vocab_size=tok.vocab_size,
+        hidden_size=32,
+        num_hidden_layers=2,
+        head_dim=8,
+        num_attention_heads=4,
+        intermediate_size=64,
+        stacked_feat=13,
+        next_n_token=13,
+        mask_token_id=vm["<mask>"],
+        dtype="float32",
+        pos_num_bins=16,
+    ).finalize()
+    params = pos_pretrain.init_pos_pred_params(cfg, jax.random.PRNGKey(0))
+    jb = {k: jnp.asarray(v) for k, v in batch.data.items()}
+    out = jax.jit(
+        lambda p, b: pos_pretrain.pos_pred_forward(p, cfg, b, rng=jax.random.PRNGKey(0))
+    )(params, jb)
+    assert np.isfinite(float(out["loss"]))
