@@ -31,13 +31,16 @@ def _init_worker(dataset, tokenizer, seed):
 
 
 def _tokenize_chunk(args):
-    epoch, idx_chunk = args
+    epoch, start_pos, idx_chunk = args
     ds = _WORKER_STATE["dataset"]
     tok = _WORKER_STATE["tokenizer"]
     seed = _WORKER_STATE["seed"]
     out = []
-    for idx in idx_chunk:
-        rng = np.random.default_rng((seed, epoch, int(idx)))
+    # seeding includes the epoch position so a repeated index (contrastive
+    # duplication, reference get_cl_sampler loader_utils.py:308-315) yields
+    # an independent augmentation view
+    for j, idx in enumerate(idx_chunk):
+        rng = np.random.default_rng((seed, epoch, int(idx), start_pos + j))
         out.append(tok(ds[int(idx)], rng))
     return out
 
@@ -90,7 +93,7 @@ class GraphTokenLoader:
     def _sample_stream(self, indices: np.ndarray, epoch: int) -> Iterator[TokenizedSample]:
         chunk = 32
         chunks = [
-            (epoch, indices[i : i + chunk]) for i in range(0, len(indices), chunk)
+            (epoch, i, indices[i : i + chunk]) for i in range(0, len(indices), chunk)
         ]
         pool = self._ensure_pool()
         if pool is None:

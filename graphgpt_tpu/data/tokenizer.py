@@ -219,6 +219,17 @@ class StackedGSTTokenizer:
                 mtp=tuple(self.mlm_cfg.mtp),
                 vocab_size=self.vocab_size,
             )
+            if task == "pretrain-cl":
+                # trailing <gsum> row pools the contrastive embedding
+                # (reference _add_gsum_tokens_for_cl, tokenizer_utils.py:366-387)
+                gsum_row = np.full((1, masked.shape[1]), self.gsum_id, np.int32)
+                masked = np.concatenate([masked, gsum_row])
+                labels = np.concatenate(
+                    [labels, np.full((1, labels.shape[1]), LABEL_PAD_ID, np.int32)]
+                )
+                p = p + 1
+                position_ids = np.arange(p, dtype=np.int32)
+                attention_mask = np.ones(p, np.int8)
             return TokenizedSample(
                 input_ids=masked,
                 labels=labels,

@@ -200,6 +200,29 @@ def pretrain_forward(
     return out
 
 
+def pretrain_logits(
+    params: Params, cfg: ModelConfig, batch: Dict[str, jnp.ndarray]
+) -> jnp.ndarray:
+    """Full generative logits [B, P, next_n, V] for the dLLM generation loop
+    (the reference reads head1_logits; generation_utils.py:118-125)."""
+    hidden = model_hidden_states(
+        params,
+        cfg,
+        batch["input_ids"],
+        batch["position_ids"],
+        batch["segment_ids"],
+        raw_embeds=batch.get("embed"),
+    )
+    b, p, d = hidden.shape
+    n = cfg.next_n_token
+    dt = hidden.dtype
+    if n > 1:
+        h = (hidden @ params["n_token_proj"].astype(dt)).reshape(b, p, n, d)
+    else:
+        h = hidden[:, :, None, :]
+    return (h @ params["lm_head"].astype(dt)).astype(jnp.float32)
+
+
 def score_apply(params: Params, cfg: ModelConfig, x: jnp.ndarray, rng=None, train=False):
     dt = x.dtype
     if "score_mlp" in params:

@@ -60,6 +60,56 @@ def make_schedule(
     raise ValueError(f"unknown scheduler {name!r}")
 
 
+def _newton_schulz(g, steps: int = 5, eps: float = 1e-7):
+    """Quintic Newton-Schulz orthogonalisation (Muon; public coefficients)."""
+    import jax.numpy as jnp
+
+    a, b, c = 3.4445, -4.7750, 2.0315
+    x = g.astype(jnp.float32)
+    transpose = x.shape[-2] > x.shape[-1]
+    if transpose:
+        x = x.swapaxes(-1, -2)
+    x = x / (jnp.linalg.norm(x, axis=(-2, -1), keepdims=True) + eps)
+    for _ in range(steps):
+        aa = x @ x.swapaxes(-1, -2)
+        bb = b * aa + c * (aa @ aa)
+        x = a * x + bb @ x
+    if transpose:
+        x = x.swapaxes(-1, -2)
+    return x
+
+
+def muon(learning_rate, momentum: float = 0.95, ns_steps: int = 5) -> optax.GradientTransformation:
+    """Muon: momentum + Newton-Schulz orthogonalised updates for matrices
+    (the optimizer split the reference prepares in get_muon_params,
+    src/models/graphgpt/modeling_finetune.py:610-644). Stacked per-layer
+    [L, in, out] weights are orthogonalised per leading slice."""
+    import jax
+    import jax.numpy as jnp
+
+    def init(params):
+        return {"mu": jax.tree_util.tree_map(jnp.zeros_like, params), "count": jnp.zeros((), jnp.int32)}
+
+    def update(grads, state, params=None):
+        mu = jax.tree_util.tree_map(
+            lambda m, g: momentum * m + g, state["mu"], grads
+        )
+
+        def orth(m):
+            if m.ndim < 2:
+                return m
+            o = _newton_schulz(m, ns_steps)
+            scale = jnp.sqrt(jnp.maximum(1.0, m.shape[-2] / m.shape[-1]))
+            return (o * scale).astype(m.dtype)
+
+        count = state["count"] + 1
+        lr = learning_rate(count) if callable(learning_rate) else learning_rate
+        updates = jax.tree_util.tree_map(lambda m: -lr * orth(m), mu)
+        return updates, {"mu": mu, "count": count}
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(
     cfg: OptimizerConfig,
     total_steps: int,
@@ -67,16 +117,31 @@ def make_optimizer(
     schedule: Optional[optax.Schedule] = None,
 ) -> optax.GradientTransformation:
     sched = schedule or make_schedule(cfg, total_steps, warmup_steps)
-    tx = optax.chain(
-        optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.adamw(
-            learning_rate=sched,
-            b1=cfg.betas[0],
-            b2=cfg.betas[1],
-            eps=cfg.eps,
-            weight_decay=cfg.weight_decay,
-        ),
+    adamw = optax.adamw(
+        learning_rate=sched,
+        b1=cfg.betas[0],
+        b2=cfg.betas[1],
+        eps=cfg.eps,
+        weight_decay=cfg.weight_decay,
     )
+    if cfg.name == "muon":
+        # Muon on >=2D decoder-body weights, AdamW on everything else
+        import jax
+
+        def label_fn(params):
+            def label(path, leaf):
+                keys = [getattr(p, "key", str(p)) for p in path]
+                in_body = "layers" in keys
+                return "muon" if (in_body and leaf.ndim >= 2) else "adamw"
+
+            return jax.tree_util.tree_map_with_path(label, params)
+
+        inner = optax.multi_transform(
+            {"muon": muon(sched), "adamw": adamw}, label_fn
+        )
+    else:
+        inner = adamw
+    tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), inner)
     if cfg.gradient_accumulation_steps > 1:
         tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)
     return tx

@@ -95,6 +95,10 @@ class PretrainPipeline:
         m.mask_token_id = self.tokenizer.mask_id
         m.eos_token_id = self.tokenizer.eos_id
         m.bos_token_id = self.tokenizer.bos_id
+        if tcfg.task_type == "pretrain-cl":
+            m.use_discriminative = True
+        if tcfg.task_type == "pretrain-smtp":
+            m.smtp_inside = True
         m.finalize()
         # splits
         self.train_idx, self.valid_idx = train_valid_split(
@@ -102,6 +106,10 @@ class PretrainPipeline:
         )
         # schedule from token budget
         pack = tcfg.pack_tokens > 0
+        if tcfg.task_type in ("pretrain-cl", "pretrain-smtp", "pretrain-coord"):
+            # CL needs adjacent view pairs per row; smtp/coord gather masks
+            # by raw node id (reference asserts mpe is None for both)
+            pack = False
         if pack:
             tokens_per_sample = float(tcfg.max_length)  # packed rows are full
         else:
@@ -169,6 +177,10 @@ class PretrainPipeline:
         idx = np.random.default_rng((self.cfg.training.seed, epoch)).permutation(
             self.train_idx
         )
+        if self.cfg.training.task_type == "pretrain-cl":
+            # two adjacent independent views per sample (reference
+            # get_cl_sampler, loader_utils.py:308-315)
+            idx = np.repeat(idx, 2)
         # per-host shard
         idx = idx[jax.process_index() :: jax.process_count()]
         for batch in self.loader.prefetched(idx, epoch):
@@ -220,6 +232,65 @@ class PretrainPipeline:
                 losses.append(float(out["loss"]))
             if losses:
                 log_line(f"valid loss @ step {step}: {np.mean(losses):.4f}")
+
+    def evaluate_generation(self, n_samples: int = 64, n_bands: int = 10):
+        """dLLM generation eval over unmask-ratio bands (reference
+        evaluate_generation, log_eval_dump_utils.py:307-384): for each band,
+        re-mask clean valid sequences at a ratio drawn from the band,
+        iteratively unmask with the dLLM sampler, and score accuracy on the
+        masked positions."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..generation import dllm
+        from ..models import heads as heads_mod
+
+        m = self.cfg.model
+        gen_cfg = self.cfg.generation
+        tok = self.tokenizer
+        # clean (unmasked) sequences from validation samples
+        clean_tok = StackedGSTTokenizer(
+            self.cfg.tokenization, tok.vocab_map, task_type="pretrain",
+        )
+        rng_np = np.random.default_rng(0)
+        idx = (self.valid_idx if len(self.valid_idx) else self.train_idx)[:n_samples]
+        samples = [clean_tok(self.dataset[int(i)], rng_np) for i in idx]
+        from ..data.collator import collate
+
+        batch = collate(samples, mpe=self.cfg.training.max_length, bucket=8)
+        ids = np.asarray(batch["input_ids"])  # [B, P, F]
+        b, p, f = ids.shape
+        base = {
+            "position_ids": jnp.asarray(batch["position_ids"]),
+            "segment_ids": jnp.asarray(batch["segment_ids"]),
+        }
+        pad_mask = np.asarray(batch["segment_ids"]) > 0
+
+        def logits_fn(x_flat):
+            bb = dict(base)
+            bb["input_ids"] = x_flat.reshape(b, p, f)
+            logits = heads_mod.pretrain_logits(self.state.params, m, bb)
+            return logits.reshape(b, p * f, -1)
+
+        sampler = dllm.make_unmask_sampler(logits_fn, gen_cfg, tok.mask_id)
+        results = {}
+        with self.mesh:
+            for band in range(n_bands):
+                lo, hi = band / n_bands, (band + 1) / n_bands
+                masked, mask = dllm.mask_at_ratio(
+                    ids, tok.mask_id, (lo, hi), rng_np
+                )
+                mask = mask & pad_mask[..., None]
+                masked = np.where(mask, tok.mask_id, ids)
+                out = sampler(
+                    jnp.asarray(masked.reshape(b, p * f)), jax.random.PRNGKey(band)
+                )
+                acc = dllm.generation_accuracy(
+                    out.reshape(b, p, f), jnp.asarray(ids), jnp.asarray(mask)
+                )
+                results[f"gen_acc@umr_{lo:.1f}-{hi:.1f}"] = float(acc["acc"])
+        log_line(f"generation eval: {results}")
+        return results
 
 
 def smoke_test():
