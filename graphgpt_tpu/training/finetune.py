@@ -168,6 +168,45 @@ class FinetunePipeline:
                 )
         return res
 
+    def dump_predictions(self, indices, path: str, use_ema: bool = False):
+        """Prediction dump (reference save_pred / dump_infer_results,
+        log_eval_dump_utils.py:794-799): idx, logits..., label... rows."""
+        import csv
+
+        ev = self.eval_step_ema if use_ema else self.eval_step
+        with self.mesh, open(path, "w", newline="") as f:
+            writer = None
+            for batch in self.loader.epoch_batches(np.asarray(indices), epoch=0):
+                b = mesh_lib.shard_batch(self.mesh, dict(batch.data))
+                out = ev(self.state, b)
+                logits = np.asarray(out["task_logits"])
+                labels = np.asarray(batch[self._label_key()])
+                for row_logits, row_label in zip(logits, labels):
+                    if writer is None:
+                        writer = csv.writer(f)
+                        writer.writerow(
+                            [f"logit_{i}" for i in range(len(np.atleast_1d(row_logits)))]
+                            + [f"label_{i}" for i in range(len(np.atleast_1d(row_label)))]
+                        )
+                    writer.writerow(
+                        list(np.atleast_1d(row_logits)) + list(np.atleast_1d(row_label))
+                    )
+        log_line(f"predictions dumped to {path}")
+
+    def infer_hidden_states(self, indices, path: str):
+        """Pooled hidden-state dump (reference ft_infer_hidden_states,
+        log_eval_dump_utils.py:40-74), stored as npz."""
+        chunks = []
+        with self.mesh:
+            for batch in self.loader.epoch_batches(np.asarray(indices), epoch=0):
+                b = mesh_lib.shard_batch(self.mesh, dict(batch.data))
+                out = self.eval_step(self.state, b)
+                chunks.append(np.asarray(out["task_hidden_states"], np.float32))
+        arr = np.concatenate(chunks) if chunks else np.zeros((0,))
+        np.savez(path, hidden_states=arr)
+        log_line(f"hidden states {arr.shape} dumped to {path}")
+        return arr
+
     def run(self):
         tcfg = self.cfg.training
         rng = jax.random.PRNGKey(tcfg.seed)

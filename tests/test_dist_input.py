@@ -1,0 +1,92 @@
+"""Edge-partitioned corpus + device all-to-all halo feature exchange."""
+
+import jax
+import numpy as np
+import pytest
+
+from graphgpt_tpu.data.datasets import erdos_renyi_graph
+from graphgpt_tpu.parallel.dist_input import EdgePartitionedCorpus
+
+
+@pytest.fixture(scope="module")
+def big():
+    rng = np.random.default_rng(0)
+    g = erdos_renyi_graph(rng, 200, 0.04)
+    g.node_attr = rng.integers(0, 100, size=(200, 5)).astype(np.int32)
+    g.y = rng.integers(0, 3, size=(200, 1)).astype(np.int64)
+    return g
+
+
+def test_partition_edge_coverage(big):
+    corpus = EdgePartitionedCorpus(big, num_shards=4, halo_hops=1, seed=0)
+    # every directed edge is owned by exactly one shard (by its source owner)
+    total_edges = sum(s.edge_index.shape[1] for s in corpus.shards)
+    assert total_edges == big.num_edges
+    # every node is owned exactly once
+    owned = np.concatenate([s.global_nodes[: s.num_owned] for s in corpus.shards])
+    assert len(owned) == big.num_nodes
+    assert len(np.unique(owned)) == big.num_nodes
+
+
+def test_halo_closure_contains_neighbors(big):
+    corpus = EdgePartitionedCorpus(big, num_shards=4, halo_hops=1, seed=0)
+    for shard in corpus.shards:
+        # all local edges reference valid local node ids
+        if shard.edge_index.size:
+            assert shard.edge_index.max() < shard.num_nodes
+            assert shard.edge_index.min() >= 0
+
+
+def test_host_exchange_fills_halo(big):
+    corpus = EdgePartitionedCorpus(big, num_shards=4, halo_hops=1, seed=0)
+    corpus.exchange_halo_features_host()
+    for shard in corpus.shards:
+        np.testing.assert_array_equal(
+            shard.node_attr, big.node_attr[shard.global_nodes]
+        )
+
+
+def test_device_all_to_all_exchange_matches_host(big):
+    assert len(jax.devices()) >= 4
+    corpus_dev = EdgePartitionedCorpus(big, num_shards=4, halo_hops=1, seed=0)
+    corpus_dev.exchange_halo_features_device()
+    corpus_host = EdgePartitionedCorpus(big, num_shards=4, halo_hops=1, seed=0)
+    corpus_host.exchange_halo_features_host()
+    for sd, sh in zip(corpus_dev.shards, corpus_host.shards):
+        np.testing.assert_array_equal(sd.node_attr, sh.node_attr)
+
+
+def test_prefetch_overlap(big):
+    corpus = EdgePartitionedCorpus(big, num_shards=2, halo_hops=1, seed=0)
+    handle = corpus.prefetch_exchange()
+    handle.join(timeout=60)
+    assert not handle.is_alive()
+    ref = EdgePartitionedCorpus(big, num_shards=2, halo_hops=1, seed=0)
+    ref.exchange_halo_features_host()
+    for sd, sh in zip(corpus.shards, ref.shards):
+        np.testing.assert_array_equal(sd.node_attr, sh.node_attr)
+
+
+def test_single_shard_degenerate(big):
+    corpus = EdgePartitionedCorpus(big, num_shards=1, halo_hops=1, seed=0)
+    assert len(corpus.shards) == 1
+    s = corpus.shards[0]
+    assert s.num_owned == big.num_nodes
+    assert len(s.halo_nodes_global) == 0
+    assert s.edge_index.shape[1] == big.num_edges
+
+
+def test_shard_sampling_stays_local(big):
+    """Depth-1 ego sampling from owned nodes works inside the shard graph."""
+    from graphgpt_tpu.data.sampling import EgoNodeDataset
+
+    corpus = EdgePartitionedCorpus(big, num_shards=4, halo_hops=1, seed=0)
+    corpus.exchange_halo_features_host()
+    shard = corpus.shards[0]
+    g = shard.to_graph()
+    ds = EgoNodeDataset(
+        g, depth_neighbors=[(1, 8)], sample_idx=np.arange(shard.num_owned), seed=0
+    )
+    sub = ds[0]
+    assert sub.num_nodes >= 1
+    assert sub.node_attr is not None
