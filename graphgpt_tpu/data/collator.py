@@ -106,7 +106,13 @@ def collate(
         if vals[0] is not None:
             out[key] = np.stack(vals).astype(np.float32)
     for k in samples[0].extras:
-        out[k] = np.stack([trunc(s.extras[k], 0) for s in samples])
+        vals = [s.extras[k] for s in samples]
+        if vals[0].ndim >= 1 and vals[0].shape[0] == samples[0].seq_len:
+            # label-like extras pad with -100; gather indices must pad with 0
+            pad_val = LABEL_PAD_ID if ("label" in k or k == "raw_node_idx") else 0
+            out[k] = np.stack([trunc(s.extras[k], pad_val) for s in samples])
+        else:  # per-sample scalar-ish extras (e.g. cls_idx, cls_perm)
+            out[k] = np.stack(vals)
     return Batch(out)
 
 

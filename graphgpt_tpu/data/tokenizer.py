@@ -98,6 +98,7 @@ class StackedGSTTokenizer:
         vocab_map: Dict[str, int],
         task_type: str = "pretrain-mlm",
         mlm_cfg=None,
+        num_intra_cls: int = 0,
     ):
         assert cfg.stack_method == "short", "long stacking: see StackedGSTTokenizerLong"
         assert cfg.structure.edge.remove_edge_type_token, (
@@ -143,6 +144,12 @@ class StackedGSTTokenizer:
         self.node_attr_field = sem.node.discrete
         self.edge_attr_field = sem.edge.discrete
         self.stacked_feat = 1 + self.node_dim + self.edge_dim
+        # intra-instance class tokens for nodev2 token_ce_intra
+        # (reference reserved semantics tokens, tokenizer_utils.py:729-747)
+        self.num_intra_cls = num_intra_cls
+        self.intra_cls_token_ids = [
+            vocab_map[t] for t in sem.reserved_tokens[:num_intra_cls]
+        ]
 
     # ------------------------------------------------------------------
     def tokenize(
@@ -314,7 +321,148 @@ class StackedGSTTokenizer:
                 wgt=graph.wgt,
                 segment_lengths=[p2],
             )
+        if task == "nodev2":
+            # token-level node classification: each node's label sits on its
+            # FIRST structural-token occurrence only; optionally append
+            # intra-instance class rows with cls_idx (reference
+            # prepare_inputs_for_node_v2_token_lvl_task,
+            # tokenizer_utils.py:688-748)
+            y = (
+                np.asarray(graph.y).reshape(graph.num_nodes, -1)[:, 0]
+                if graph.y is not None
+                else np.full(graph.num_nodes, LABEL_PAD_ID)
+            )
+            p0 = ids.shape[0]
+            nodev2 = np.full(p0, LABEL_PAD_ID, np.int64)
+            raw_node_idx = np.full(p0, LABEL_PAD_ID, np.int64)
+            seen = set()
+            for i, node in enumerate(walk):
+                node = int(node)
+                if node not in seen:
+                    seen.add(node)
+                    nodev2[i] = int(y[node])
+                    raw_node_idx[i] = node
+            extras = {"nodev2_labels": nodev2, "raw_node_idx": raw_node_idx}
+            labels = np.full_like(ids, LABEL_PAD_ID)
+            cls_rows = 0
+            if self.num_intra_cls > 0:
+                order = rng.permutation(self.num_intra_cls)
+                cls_ids = np.asarray(
+                    [self.intra_cls_token_ids[k] for k in order], np.int32
+                )
+                rows = np.repeat(cls_ids[:, None], ids.shape[1], axis=1)
+                extras["cls_perm"] = np.argsort(order).astype(np.int64)
+                extras["cls_idx"] = np.asarray([p0], np.int64)
+                ids = np.concatenate([ids, rows])
+                labels = np.concatenate(
+                    [labels, np.full_like(rows, LABEL_PAD_ID)]
+                )
+                pad = np.full(len(cls_ids), LABEL_PAD_ID, np.int64)
+                extras["nodev2_labels"] = np.concatenate([nodev2, pad])
+                extras["raw_node_idx"] = np.concatenate([raw_node_idx, pad])
+                cls_rows = len(cls_ids)
+            p2 = p0 + cls_rows
+            return TokenizedSample(
+                input_ids=ids,
+                labels=labels,
+                position_ids=np.arange(p2, dtype=np.int32),
+                attention_mask=np.ones(p2, np.int8),
+                segment_lengths=[p2],
+                extras=extras,
+            )
         raise NotImplementedError(f"task_type {task!r}")
+
+
+class StackedGSTTokenizerLong(StackedGSTTokenizer):
+    """"Long" stacking: alternating node and edge rows
+    (reference stack_attr_to_node_and_edge, tokenizer.py:1269-1359).
+
+    Row layout (stacked_feat = 2 + node_dim + edge_dim):
+      node row: [node_idx | node_attrs | <edge_bi> | default edge attrs]
+      edge row: [<new>    | default node attrs | edge_type | edge attrs]
+    """
+
+    def __init__(self, cfg, vocab_map, **kw):
+        # satisfy the base-class short-stack preconditions during init, then
+        # restore the long-stack settings (edge-type slot retained)
+        saved_method = cfg.stack_method
+        cfg.stack_method = "short"
+        cfg.structure.edge.remove_edge_type_token = True
+        super().__init__(cfg, vocab_map, **kw)
+        cfg.stack_method = saved_method
+        cfg.structure.edge.remove_edge_type_token = False
+        self.stacked_feat = 2 + self.node_dim + self.edge_dim
+        s = cfg.structure
+        self.edge_type_ids = np.asarray(
+            [
+                vocab_map[s.edge.jump_token],
+                vocab_map[s.edge.in_token],
+                vocab_map[s.edge.out_token],
+                vocab_map[s.edge.bi_token],
+            ],
+            np.int32,
+        )
+        self.bi_id = vocab_map[s.edge.bi_token]
+        self.new_id = vocab_map[s.node.new_node_token]
+        self.default_node_attr_ids = (
+            self.node_lookup.default_ids if self.node_lookup else np.zeros(0, np.int32)
+        )
+
+    def tokenize(self, graph: Graph, rng: np.random.Generator):
+        walk = euler.graph_to_walk(graph, rng)
+        ranks = euler.walk_node_ranks(walk, self.scope, self.cyclic, rng)
+        etypes = euler.walk_edge_types(graph, walk)
+        erows = euler.walk_edge_attr_rows(graph, walk)
+        p0 = len(walk)
+        f = self.stacked_feat
+        n_rows = 2 * p0 - 1 if p0 > 0 else 1
+        ids = np.empty((n_rows + 1, f), np.int32)
+        dn, de = self.node_dim, self.edge_dim
+        node_attr_ids = self.node_lookup(graph.node_attr) if dn else None
+        for i in range(p0):
+            r = 2 * i
+            ids[r, 0] = self.node_idx_ids[ranks[i]]
+            if dn:
+                ids[r, 1 : 1 + dn] = node_attr_ids[walk[i]]
+            ids[r, 1 + dn] = self.bi_id
+            if de:
+                ids[r, 2 + dn :] = self.edge_lookup.default_ids
+            if i < p0 - 1:
+                r = 2 * i + 1
+                ids[r, 0] = self.new_id
+                if dn:
+                    ids[r, 1 : 1 + dn] = self.default_node_attr_ids
+                ids[r, 1 + dn] = self.edge_type_ids[etypes[i]]
+                if de:
+                    if erows[i] >= 0:
+                        ids[r, 2 + dn :] = self.edge_lookup(
+                            graph.edge_attr[erows[i]][None, :]
+                        )[0]
+                    else:
+                        ids[r, 2 + dn :] = self.edge_lookup.default_ids
+        ids[n_rows] = self.eos_id
+        return ids, walk, ranks
+
+    def pad_stacked_labels(self, labels: np.ndarray) -> np.ndarray:
+        """Label padding per row parity: node rows supervise the node part
+        (cols <= node_dim), edge rows the edge part (cols > node_dim or eos)
+        (reference _pad_stacked_targets, tokenizer_utils.py:206-219)."""
+        out = labels.copy()
+        dn = self.node_dim
+        cols = np.arange(labels.shape[1])
+        for i in range(labels.shape[0]):
+            if i % 2 == 0:
+                out[i, cols > dn] = LABEL_PAD_ID
+            else:
+                keep = (cols > dn) | (labels[i] == self.eos_id)
+                out[i, ~keep] = LABEL_PAD_ID
+        return out
+
+    def __call__(self, graph: Graph, rng: np.random.Generator) -> TokenizedSample:
+        sample = super().__call__(graph, rng)
+        if self.task_type in ("pretrain-mlm", "pretrain-cl") and sample.labels.ndim == 2:
+            sample.labels = self.pad_stacked_labels(sample.labels)
+        return sample
 
 
 def _polynomial_mask_ratio(mlm_cfg, rng: np.random.Generator) -> Tuple[float, float]:

@@ -272,6 +272,27 @@ def task_forward(
         "task_hidden_states": pooled_hidden,
         "hidden_states": hidden,
     }
+    if cfg.task_type == "nodev2" and "nodev2_labels" in batch:
+        # token-level node classification (reference
+        # get_logits_for_token_lvl_task, modeling_finetune.py:140-168)
+        labels_tok = batch["nodev2_labels"]  # [B, P]
+        if cfg.loss_type == "token_ce_intra":
+            inv_temp = 20.0
+            h_norm = hidden.astype(jnp.float32)
+            h_norm = h_norm / (jnp.linalg.norm(h_norm, axis=-1, keepdims=True) + 1e-7)
+            cls_idx = batch["cls_idx"].reshape(-1)  # [B]
+            offs = cls_idx[:, None] + jnp.arange(cfg.num_labels)[None, :]
+            lle = jnp.take_along_axis(h_norm, offs[..., None], axis=1)  # [B, C, D]
+            logits_tok = jnp.einsum("bpd,bcd->bpc", h_norm, lle) * inv_temp
+        else:  # token_ce
+            logits_tok = logits_all.astype(jnp.float32)
+        loss = losses.masked_mean_ce(
+            logits_tok.reshape(-1, cfg.num_labels), labels_tok.reshape(-1)
+        )
+        out["task_logits"] = logits_tok
+        out["task_loss"] = loss
+        out["loss"] = loss
+        return out
     task_labels = None
     for key in ("graph_labels", "node_labels", "edge_labels", "task_labels"):
         if key in batch:

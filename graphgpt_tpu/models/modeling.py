@@ -232,7 +232,18 @@ def backbone_apply(
         x = x + _drop_path(mlp_out, dp_rate, r_dp2, train)
         return x, None
 
-    fn = jax.checkpoint(layer_fn) if cfg.remat else layer_fn
+    if cfg.remat:
+        if cfg.remat_policy == "dots":
+            # save matmul outputs, recompute elementwise: much cheaper
+            # backward than full remat at moderate extra memory
+            fn = jax.checkpoint(
+                layer_fn,
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            )
+        else:
+            fn = jax.checkpoint(layer_fn)
+    else:
+        fn = layer_fn
     x, _ = jax.lax.scan(fn, x, (params["layers"], dp_rates, layer_idx))
     return rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
 

@@ -49,7 +49,7 @@ def _mask_for_tiles(seg_q, seg_k, qi, ki, bq, bk, causal):
 # Forward kernel
 # ---------------------------------------------------------------------------
 def _fwd_kernel(
-    q_ref, k_ref, v_ref, segq_ref, segk_ref, out_ref, acc_ref, m_ref, l_ref,
+    q_ref, k_ref, v_ref, segq_ref, segk_ref, out_ref, lse_ref, acc_ref, m_ref, l_ref,
     *, scale: float, causal: bool, bq: int, bk: int, nk: int
 ):
     ki = pl.program_id(2)
@@ -95,6 +95,9 @@ def _fwd_kernel(
         l = l_ref[:, :1]
         out = acc_ref[:] / jnp.where(l == 0.0, 1.0, l)
         out_ref[0] = out.astype(out_ref.dtype)
+        # log-sum-exp residual for the backward pass
+        lse = m_ref[:, :1] + jnp.log(jnp.where(l == 0.0, 1.0, l))
+        lse_ref[0, 0] = jnp.where(l[:, 0] == 0.0, _NEG_INF, lse[:, 0])
 
 
 def _flash_fwd(q, k, v, segment_ids, causal, scale, bq, bk):
@@ -105,7 +108,7 @@ def _flash_fwd(q, k, v, segment_ids, causal, scale, bq, bk):
     kernel = functools.partial(
         _fwd_kernel, scale=scale, causal=causal, bq=bq, bk=bk, nk=nk
     )
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=(bh, nq, nk),
         in_specs=[
@@ -115,8 +118,14 @@ def _flash_fwd(q, k, v, segment_ids, causal, scale, bq, bk):
             pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i)),
             pl.BlockSpec((1, 1, bk), lambda b, i, j: (b, 0, j)),
         ],
-        out_specs=pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, p, d), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, p, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, 1, p), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((bq, d), jnp.float32),
             pltpu.VMEM((bq, 128), jnp.float32),
@@ -126,7 +135,157 @@ def _flash_fwd(q, k, v, segment_ids, causal, scale, bq, bk):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
     )(q, k, v, seg3, seg3)
-    return out
+    return out, lse[:, 0, :]
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels
+# ---------------------------------------------------------------------------
+def _dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, segq_ref, segk_ref,
+    dq_ref, acc_ref, *, scale, causal, bq, bk, nk
+):
+    qi, ki = pl.program_id(1), pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    run = True
+    if causal:
+        run = ki * bk <= qi * bq + (bq - 1)
+
+    @pl.when(run)
+    def _step():
+        q = q_ref[0]
+        k = k_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        valid = _mask_for_tiles(segq_ref[0, 0], segk_ref[0, 0], qi, ki, bq, bk, causal)
+        lse = lse_ref[0, 0][:, None]  # [BQ, 1]
+        p = jnp.where(valid, jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(
+            do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BQ, BK]
+        delta = delta_ref[0, 0][:, None]
+        ds = p * (dp - delta)
+        acc_ref[:] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+
+    @pl.when(ki == nk - 1)
+    def _finish():
+        dq_ref[0] = acc_ref[:].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, segq_ref, segk_ref,
+    dk_ref, dv_ref, dk_acc, dv_acc, *, scale, causal, bq, bk, nq
+):
+    ki, qi = pl.program_id(1), pl.program_id(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    run = True
+    if causal:
+        run = qi * bq + (bq - 1) >= ki * bk
+
+    @pl.when(run)
+    def _step():
+        q = q_ref[0]
+        k = k_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [BQ, BK]
+        valid = _mask_for_tiles(segq_ref[0, 0], segk_ref[0, 0], qi, ki, bq, bk, causal)
+        lse = lse_ref[0, 0][:, None]
+        p = jnp.where(valid, jnp.exp(s - lse), 0.0)
+        do = do_ref[0]
+        dv_acc[:] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BK, D]
+        dp = jax.lax.dot_general(
+            do, v_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        delta = delta_ref[0, 0][:, None]
+        ds = p * (dp - delta)  # [BQ, BK]
+        dk_acc[:] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [BK, D]
+
+    @pl.when(qi == nq - 1)
+    def _finish():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd(q, k, v, segment_ids, out, lse, do, causal, scale, bq, bk):
+    bh, p, d = q.shape
+    nq, nk = p // bq, p // bk
+    seg3 = segment_ids.reshape(bh, 1, p)
+    lse3 = lse.reshape(bh, 1, p)
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    delta3 = delta.reshape(bh, 1, p)
+    common = dict(scale=scale, causal=causal, bq=bq, bk=bk)
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, nk=nk, **common),
+        grid=(bh, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i)),
+            pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i)),
+            pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i)),
+            pl.BlockSpec((1, 1, bk), lambda b, i, j: (b, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, p, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(q, k, v, do, lse3, delta3, seg3, seg3)
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, nq=nq, **common),
+        grid=(bh, nk, nq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, bq, d), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, 1, bq), lambda b, j, i: (b, 0, i)),
+            pl.BlockSpec((1, 1, bq), lambda b, j, i: (b, 0, i)),
+            pl.BlockSpec((1, 1, bq), lambda b, j, i: (b, 0, i)),
+            pl.BlockSpec((1, 1, bk), lambda b, j, i: (b, 0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, p, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, p, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bk, d), jnp.float32),
+            pltpu.VMEM((bk, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(q, k, v, do, lse3, delta3, seg3, seg3)
+    return dq, dk, dv
 
 
 # ---------------------------------------------------------------------------
@@ -136,44 +295,24 @@ def _flash_fwd(q, k, v, segment_ids, causal, scale, bq, bk):
 def _flash_core(q, k, v, segment_ids, causal, scale):
     bq = _pick_block(q.shape[1])
     bk = _pick_block(q.shape[1])
-    return _flash_fwd(q, k, v, segment_ids, causal, scale, bq, bk)
+    out, _ = _flash_fwd(q, k, v, segment_ids, causal, scale, bq, bk)
+    return out
 
 
 def _flash_core_fwd(q, k, v, segment_ids, causal, scale):
-    out = _flash_core(q, k, v, segment_ids, causal, scale)
-    return out, (q, k, v, segment_ids)
+    bq = _pick_block(q.shape[1])
+    bk = _pick_block(q.shape[1])
+    out, lse = _flash_fwd(q, k, v, segment_ids, causal, scale, bq, bk)
+    return out, (q, k, v, segment_ids, out, lse)
 
 
 def _flash_core_bwd(causal, scale, residuals, g):
-    """Recompute-based backward via the XLA reference formula.
-
-    Peak memory is one [BH, P, P] fp32 score tile chain that XLA fuses; a
-    tiled Pallas backward replaces this for long-context configs (tracked
-    in ops/flash_attention_bwd).
-    """
-    q, k, v, segment_ids = residuals
-
-    def ref(q, k, v):
-        s = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        ) * scale  # [BH, P, P]
-        seg_q = segment_ids[:, :, None]
-        seg_k = segment_ids[:, None, :]
-        valid = (seg_q == seg_k) & (seg_k > 0)
-        if causal:
-            p_len = q.shape[1]
-            idx = jnp.arange(p_len)
-            valid = valid & (idx[None, :, None] >= idx[None, None, :])
-        s = jnp.where(valid, s, _NEG_INF)
-        probs = jax.nn.softmax(s, axis=-1)
-        probs = jnp.where(valid.any(-1, keepdims=True), probs, 0.0)
-        return jax.lax.dot_general(
-            probs.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).astype(q.dtype)
-
-    _, vjp = jax.vjp(ref, q, k, v)
-    dq, dk, dv = vjp(g)
+    q, k, v, segment_ids, out, lse = residuals
+    bq = _pick_block(q.shape[1])
+    bk = _pick_block(q.shape[1])
+    dq, dk, dv = _flash_bwd(
+        q, k, v, segment_ids, out, lse, g, causal, scale, bq, bk
+    )
     return dq, dk, dv, None
 
 

@@ -61,17 +61,17 @@ def test_flash_gradients_match_xla():
     seg = jnp.asarray(seg)
 
     def loss_flash(q, k, v):
-        from jax.experimental.pallas import tpu as pltpu
-
-        with pltpu.force_tpu_interpret_mode():
-            out = fa.flash_attention(q, k, v, seg, causal=False)
+        out = fa.flash_attention(q, k, v, seg, causal=False)
         return jnp.sum(out.astype(jnp.float32) ** 2)
 
     def loss_xla(q, k, v):
         out = xla_attention(q, k, v, seg, causal=False)
         return jnp.sum(out.astype(jnp.float32) ** 2)
 
-    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
     g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=5e-4, atol=5e-4)
@@ -87,3 +87,23 @@ def test_flash_gqa():
     got = _run_flash(q, k, v, seg, False)
     want = xla_attention(q, k, v, seg, False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_flash_gradients_match_xla_causal():
+    b, p, h, d = 1, 128, 2, 32
+    q, k, v = _rand_qkv(b, p, h, d, seed=5)
+    seg = jnp.ones((b, p), jnp.int32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(fa.flash_attention(q, k, v, seg, causal=True).astype(jnp.float32) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(xla_attention(q, k, v, seg, causal=True).astype(jnp.float32) ** 2)
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=5e-4, atol=5e-4)

@@ -175,3 +175,60 @@ def test_node_task():
     # final row is the target-node row with default edge attrs
     assert s.input_ids[-1, 0] in tok.node_idx_ids
     assert (s.input_ids[-1, -3:] == tok.edge_lookup.default_ids).all()
+
+
+def test_long_stack_tokenizer():
+    from graphgpt_tpu.data.tokenizer import StackedGSTTokenizerLong
+    from graphgpt_tpu.config import MlmScheduleConfig
+
+    cfg = make_tok_cfg()
+    cfg.stack_method = "long"
+    vm = make_vocab(cfg)
+    tok = StackedGSTTokenizerLong(cfg, vm, task_type="pretrain-mlm", mlm_cfg=MlmScheduleConfig())
+    ds = SyntheticMolDataset(4, seed=0)
+    rng = np.random.default_rng(0)
+    ids, walk, ranks = tok.tokenize(ds[0], rng)
+    assert ids.shape[1] == 2 + 9 + 3  # long stacked_feat
+    assert ids.shape[0] == 2 * len(walk)  # alternating rows + eos
+    # node rows carry node-idx tokens; edge rows carry <new>
+    assert ids[0, 0] in set(tok.node_idx_ids.tolist())
+    assert ids[1, 0] == tok.new_id
+    # full call produces parity-padded labels
+    s = tok(ds[0], rng)
+    assert s.input_ids.shape[1] == 14
+
+
+def test_nodev2_task():
+    cfg = make_tok_cfg()
+    vm = make_vocab(cfg)
+    tok = StackedGSTTokenizer(cfg, vm, task_type="nodev2", num_intra_cls=4)
+    ds = SyntheticMolDataset(4, seed=8)
+    g = ds[0]
+    g.y = np.arange(g.num_nodes, dtype=np.int64).reshape(-1, 1) % 4
+    s = tok(g, np.random.default_rng(0))
+    labs = s.extras["nodev2_labels"]
+    # each node labelled exactly once
+    assert (labs != -100).sum() == g.num_nodes
+    assert "cls_idx" in s.extras
+    # the class rows sit at the end of the sequence
+    cls_start = int(s.extras["cls_idx"][0])
+    assert s.input_ids.shape[0] == cls_start + 4
+    # model consumes the batch end to end
+    import jax
+    import jax.numpy as jnp
+    from graphgpt_tpu.config import ModelConfig
+    from graphgpt_tpu.models import heads as H
+    from graphgpt_tpu.data.collator import collate
+
+    batch = collate([s], mpe=256)
+    mcfg = ModelConfig(
+        vocab_size=tok.vocab_size, hidden_size=32, num_hidden_layers=2,
+        head_dim=8, num_attention_heads=4, intermediate_size=64,
+        stacked_feat=13, next_n_token=1, dtype="float32",
+        task_type="nodev2", problem_type="single_label_classification",
+        loss_type="token_ce_intra", num_labels=4,
+    ).finalize()
+    params = H.init_task_params(mcfg, jax.random.PRNGKey(0))
+    jb = {k: jnp.asarray(v) for k, v in batch.data.items()}
+    out = jax.jit(lambda p, b: H.task_forward(p, mcfg, b))(params, jb)
+    assert np.isfinite(float(out["loss"]))
