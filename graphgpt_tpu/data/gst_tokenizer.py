@@ -108,6 +108,34 @@ class GSTTokenizer:
         self.node_ignored = sem.node.ignored_val
         self.edge_ignored = sem.edge.ignored_val
         self.label_pad_ids = {vocab_map[t] for t in cfg.label_tokens_to_pad if t in vocab_map}
+        # continuous attrs: per-column identifier token + digit tokens
+        # (reference _tokenize_continuous_attr, tokenizer.py:729-756)
+        self.node_cont_field = sem.node.continuous
+        self.edge_cont_field = sem.edge.continuous
+        self.digit_ids = {
+            ch: vocab_map[f"<{ch}>"] for ch in "0123456789.-e" if f"<{ch}>" in vocab_map
+        }
+        world = cfg.attr_world_identifier
+        self.node_cont_ident = [
+            vocab_map.get(f"{world}#node#{c}#1", 0) for c in range(sem.node.dim)
+        ]
+        self.edge_cont_ident = [
+            vocab_map.get(f"{world}#edge#{c}#1", 0) for c in range(sem.edge.dim)
+        ]
+
+    def _continuous_tokens(self, vals, ident_ids, ignored) -> List[int]:
+        """value 380 -> [identifier, <3>, <8>, <0>]; leading '0.' collapses
+        to '.' (reference _remove_lead_zero, tokenizer.py:720-726)."""
+        out: List[int] = []
+        for c, v in enumerate(vals):
+            s = str(v)
+            if ignored is not None and s == str(ignored):
+                continue
+            if len(s) > 2 and s[0] == "0" and s[1] == ".":
+                s = s[1:]
+            out.append(ident_ids[c])
+            out.extend(self.digit_ids[ch] for ch in s if ch in self.digit_ids)
+        return out
 
     # ------------------------------------------------------------------
     def _idx_tokens(self, rank: int) -> List[int]:
@@ -152,6 +180,14 @@ class GSTTokenizer:
                     if self.node_ignored is not None and int(val) == int(self.node_ignored):
                         continue
                     emit(node_attr_ids[walk[i], c])
+            if mask[mi] and self.node_cont_field is not None:
+                arr = getattr(graph, self.node_cont_field, None)
+                if arr is None:
+                    arr = graph.extra.get(self.node_cont_field)
+                for t in self._continuous_tokens(
+                    arr[walk[i]], self.node_cont_ident, self.node_ignored
+                ):
+                    emit(t)
             mi += 1
             if i < len(walk) - 1:
                 et = etypes[i]

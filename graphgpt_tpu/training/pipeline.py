@@ -233,6 +233,41 @@ class PretrainPipeline:
             if losses:
                 log_line(f"valid loss @ step {step}: {np.mean(losses):.4f}")
 
+    def evaluate_only(self) -> Dict[str, float]:
+        """PT eval-only flow (reference pt_eval_only / eval_pt_gen_only,
+        log_eval_dump_utils.py:450-501): load latest ckpt, compute valid
+        loss and generation-band accuracies."""
+        losses = []
+        idx = self.valid_idx if len(self.valid_idx) else self.train_idx[:512]
+        with self.mesh:
+            for batch in self.loader.epoch_batches(idx[:512], epoch=0):
+                b = mesh_lib.shard_batch(self.mesh, dict(batch.data))
+                losses.append(float(self.eval_step(self.state, b)["loss"]))
+        res = {"valid_loss": float(np.mean(losses)) if losses else float("nan")}
+        res.update(self.evaluate_generation(n_samples=32, n_bands=5))
+        log_line(f"eval-only results: {res}")
+        return res
+
+    def infer_hidden_states(self, indices, path: str):
+        """PT hidden-state inference dump (reference pt_infer_hidden_states,
+        log_eval_dump_utils.py:166-239)."""
+        from ..models.heads import last_token_pool
+
+        chunks = []
+        with self.mesh:
+            for batch in self.loader.epoch_batches(np.asarray(indices), epoch=0):
+                b = mesh_lib.shard_batch(self.mesh, dict(batch.data))
+                out = self.eval_step(self.state, b)
+                hidden = out.get("hidden_states")
+                if hidden is None:
+                    continue
+                pooled = last_token_pool(hidden, b["segment_ids"])
+                chunks.append(np.asarray(pooled, np.float32))
+        arr = np.concatenate(chunks) if chunks else np.zeros((0,))
+        np.savez(path, hidden_states=arr)
+        log_line(f"pt hidden states {arr.shape} -> {path}")
+        return arr
+
     def evaluate_generation(self, n_samples: int = 64, n_bands: int = 10):
         """dLLM generation eval over unmask-ratio bands (reference
         evaluate_generation, log_eval_dump_utils.py:307-384): for each band,
@@ -323,6 +358,7 @@ if __name__ == "__main__":
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--eval-only", action="store_true")
     ap.add_argument("--config", default=None)
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
@@ -332,4 +368,8 @@ if __name__ == "__main__":
         from ..config import load_config
 
         cfg = load_config(args.config, args.overrides)
-        PretrainPipeline(cfg).setup().run()
+        pipe = PretrainPipeline(cfg).setup()
+        if args.eval_only:
+            pipe.evaluate_only()
+        else:
+            pipe.run()

@@ -98,7 +98,14 @@ def make_eval_step(forward_fn, model_cfg: ModelConfig, use_ema: bool = False):
         params = state.ema_params if (use_ema and state.ema_params is not None) else state.params
         out = forward_fn(params, model_cfg, batch, rng=None, train=False)
         keep = {}
-        for key in ("loss", "gen_loss", "task_loss", "task_logits", "task_hidden_states"):
+        for key in (
+            "loss",
+            "gen_loss",
+            "task_loss",
+            "task_logits",
+            "task_hidden_states",
+            "hidden_states",
+        ):
             if key in out:
                 keep[key] = out[key]
         return keep

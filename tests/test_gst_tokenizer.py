@@ -131,3 +131,30 @@ def test_structure_and_instruct_streams():
     # the task marker positions carry label padding (prefix skipped)
     i = toks.index(vm["structure_0"])
     assert s.labels[i] == LABEL_PAD_ID
+
+
+def test_continuous_node_attrs():
+    """ogbn-proteins-style continuous attrs become identifier+digit tokens."""
+    cfg = TokenizationConfig()
+    cfg.attr_world_identifier = "prot"
+    cfg.semantics.node.continuous = "node_cont"
+    cfg.semantics.node.dim = 2
+    cfg.semantics.node.discrete = None
+    cfg.semantics.edge.discrete = None
+    cfg.semantics.edge.dim = 0
+    from graphgpt_tpu.data import vocab as V
+
+    vocab = V.build_vocab(cfg)
+    vm = V.vocab_map_from_list(vocab)
+    tok = GSTTokenizer(cfg, vm, task_type="pretrain")
+    from graphgpt_tpu.data.graph import Graph
+
+    g = Graph(
+        num_nodes=3,
+        edge_index=np.asarray([[0, 1, 1, 2], [1, 0, 2, 1]], np.int32),
+    )
+    g.extra["node_cont"] = np.asarray([[500, 0.38], [120, 7], [9, 0.5]], object)
+    s = tok(g, np.random.default_rng(0))
+    toks = s.input_ids.tolist()
+    assert vm["prot#node#0#1"] in toks  # identifier
+    assert vm["<5>"] in toks and vm["<.>"] in toks
