@@ -144,6 +144,43 @@ class GraphsMapDataset:
         return g
 
 
+def size_weighted_indices(
+    store: GraphBatchStore,
+    sample_idx: np.ndarray,
+    n: int,
+    rng: np.random.Generator,
+) -> np.ndarray:
+    """Sample graph indices with probability proportional to node count
+    (reference with-prob sampler, dataset_map.py:1363-1400)."""
+    sizes = np.diff(store._node_ptr)[sample_idx].astype(np.float64)
+    p = sizes / sizes.sum()
+    return rng.choice(sample_idx, size=n, replace=True, p=p)
+
+
+def shift_distribution_indices(
+    store: GraphBatchStore,
+    train_idx: np.ndarray,
+    target_idx: np.ndarray,
+    n: int,
+    rng: np.random.Generator,
+    bins: int = 32,
+) -> np.ndarray:
+    """Re-weight training samples so their num_nodes histogram matches the
+    valid+test distribution (reference shift-distribution sampler,
+    dataset_map.py:1400-1445)."""
+    sizes = np.diff(store._node_ptr)
+    t_sizes = sizes[train_idx]
+    g_sizes = sizes[target_idx]
+    lo, hi = sizes.min(), sizes.max() + 1
+    edges = np.linspace(lo, hi, bins + 1)
+    t_hist, _ = np.histogram(t_sizes, bins=edges)
+    g_hist, _ = np.histogram(g_sizes, bins=edges)
+    t_bin = np.clip(np.digitize(t_sizes, edges) - 1, 0, bins - 1)
+    w = (g_hist[t_bin] + 1e-9) / (t_hist[t_bin] + 1e-9)
+    p = w / w.sum()
+    return rng.choice(train_idx, size=n, replace=True, p=p)
+
+
 def strided_shard(indices: np.ndarray, rank: int, world: int) -> np.ndarray:
     """Rank-strided sampler shard (reference distribute_sampler,
     loader_utils.py:70-75)."""

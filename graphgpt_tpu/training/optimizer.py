@@ -147,6 +147,36 @@ def make_optimizer(
     return tx
 
 
+def layerwise_lr_scales(
+    params, num_layers: int, decay: float = 0.9
+) -> "optax.GradientTransformation":
+    """Layer-wise LR decay: layer i's update scaled by decay^(L-1-i);
+    embeddings get decay^L (reference get_layerwise_param_groups*,
+    src/utils/loss_utils.py:270-367). Stacked per-layer weights carry a
+    leading L axis, so the scale is applied as a per-slice multiplier."""
+    import jax
+    import jax.numpy as jnp
+
+    scales = jnp.asarray([decay ** (num_layers - 1 - i) for i in range(num_layers)])
+
+    def init(params):
+        return ()
+
+    def update(grads, state, params=None):
+        def scale(path, g):
+            keys = [getattr(p, "key", str(p)) for p in path]
+            if "layers" in keys and g.ndim >= 1 and g.shape[0] == num_layers:
+                shape = (num_layers,) + (1,) * (g.ndim - 1)
+                return g * scales.reshape(shape).astype(g.dtype)
+            if "embed_tokens" in keys:
+                return g * (decay**num_layers)
+            return g
+
+        return jax.tree_util.tree_map_with_path(scale, grads), state
+
+    return optax.GradientTransformation(init, update)
+
+
 def compute_total_steps(
     total_tokens: float,
     warmup_tokens: float,

@@ -144,3 +144,43 @@ def test_grad_accumulation():
     for _ in range(3):
         state, _ = step(state, batch, jax.random.PRNGKey(0))
     assert not np.array_equal(np.asarray(state.params["final_norm"]), p0)
+
+
+def test_layerwise_lr_scales():
+    from graphgpt_tpu.training.optimizer import layerwise_lr_scales
+
+    cfg = tiny_cfg()
+    params = heads.init_pretrain_params(cfg, jax.random.PRNGKey(0))
+    tx = opt_lib.make_optimizer(OptimizerConfig(lr=1.0), 10, 1)
+    lw = __import__("optax").chain(layerwise_lr_scales(params, cfg.num_hidden_layers, 0.5))
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    scaled, _ = lw.update(grads, lw.init(params), params)
+    q = np.asarray(scaled["layers"]["q"])
+    # layer 0 scaled by 0.5^(L-1)=0.5, last layer by 1.0
+    assert abs(q[0, 0, 0] - 0.5) < 1e-6
+    assert abs(q[-1, 0, 0] - 1.0) < 1e-6
+    assert abs(float(scaled["embed_tokens"][0, 0]) - 0.25) < 1e-6
+
+
+def test_weighted_samplers():
+    from graphgpt_tpu.data.datasets import (
+        GraphsMapDataset,
+        SyntheticMolDataset,
+        shift_distribution_indices,
+        size_weighted_indices,
+    )
+    from graphgpt_tpu.data.graph import GraphBatchStore
+
+    ds = SyntheticMolDataset(100, seed=0)
+    store = GraphBatchStore([ds[i] for i in range(100)])
+    rng = np.random.default_rng(0)
+    idx = np.arange(100)
+    w = size_weighted_indices(store, idx, 500, rng)
+    assert w.min() >= 0 and w.max() < 100
+    sizes = np.diff(store._node_ptr)
+    # larger graphs sampled more often
+    big_half = idx[sizes > np.median(sizes)]
+    frac = np.isin(w, big_half).mean()
+    assert frac > 0.5
+    s = shift_distribution_indices(store, idx[:80], idx[80:], 200, rng)
+    assert len(s) == 200
