@@ -175,7 +175,10 @@ class GSTTokenizer:
             for t in self._idx_tokens(ranks[i]):
                 emit(t, node_like=True)
             if mask[mi] and self.node_dim:
-                for c in range(self.node_dim):
+                cols = list(range(self.node_dim))
+                if self.cfg.semantics.attr_shuffle:
+                    rng.shuffle(cols)
+                for c in cols:
                     val = graph.node_attr[walk[i], c]
                     if self.node_ignored is not None and int(val) == int(self.node_ignored):
                         continue

@@ -104,6 +104,8 @@ class EgoNodeDataset:
         replace: bool = False,
         seed: int = 0,
         pretrain_mode: bool = False,
+        task_mask_func=None,
+        root_attr_mask: Optional[np.ndarray] = None,
     ):
         self.big = big
         self.depth_neighbors = list(depth_neighbors)
@@ -116,6 +118,12 @@ class EgoNodeDataset:
         self.seed = seed
         self.epoch = 0
         self.pretrain_mode = pretrain_mode
+        # task_mask_func(graph) -> graph: dataset-specific feature masking
+        # (reference dataset_map.py:169, e.g. ogbn-proteins species closure)
+        self.task_mask_func = task_mask_func
+        # x_mask semantics (dataset_map.py:253-258): during fine-tuning the
+        # root node's attrs are multiplied by this mask to hide its label
+        self.root_attr_mask = root_attr_mask
         self._indptr, self._indices, self._eid_order = build_csr_directed(
             big.num_nodes, big.edge_index
         )
@@ -138,12 +146,16 @@ class EgoNodeDataset:
         g = Graph(
             num_nodes=len(nodes),
             edge_index=sub_ei,
-            node_attr=None if self.big.node_attr is None else self.big.node_attr[nodes],
+            node_attr=None if self.big.node_attr is None else self.big.node_attr[nodes].copy(),
             edge_attr=None if self.big.edge_attr is None else self.big.edge_attr[eids],
             y=None if self.big.y is None else np.asarray(self.big.y).reshape(self.big.num_nodes, -1)[nodes],
             root_n_id=np.asarray([root]),
             idx=int(i),
         )
+        if (not self.pretrain_mode) and self.root_attr_mask is not None and g.node_attr is not None:
+            g.node_attr[root] = g.node_attr[root] * self.root_attr_mask
+        if self.task_mask_func is not None:
+            g = self.task_mask_func(g)
         return g
 
 

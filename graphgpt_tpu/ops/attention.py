@@ -91,8 +91,10 @@ def attention(
     vs the XLA fused path is above 1k on v5e), XLA otherwise.
     """
     if impl == "auto":
+        # crossover measured end-to-end (fwd+bwd) on v5e: the flash kernel
+        # wins from P=1024 up (its backward avoids the [P,P] probs traffic)
         on_tpu = jax.default_backend() == "tpu"
-        impl = "pallas" if (on_tpu and q.shape[1] > 1024 and bi_causal_split == 0) else "xla"
+        impl = "pallas" if (on_tpu and q.shape[1] >= 1024 and bi_causal_split == 0) else "xla"
     if impl == "pallas":
         from .flash_attention import flash_attention
 
