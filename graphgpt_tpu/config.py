@@ -147,6 +147,7 @@ class ModelConfig:
     rms_norm_eps: float = 1e-6
     rope_theta: float = 10000.0
     rope_range: int = 0
+    rope_resonance: bool = False  # integer-wavelength Resonance RoPE
     tie_word_embeddings: bool = False
     causal_attention: bool = False
     attention_bias: bool = False
@@ -325,6 +326,8 @@ class GenerationConfig:
     steps: int = 64
     alg: str = "entropy"  # origin|maskgit_plus|topk_margin|entropy
     temperature: float = 0.0
+    top_p: float = 0.0  # 0 disables nucleus filtering
+    top_k: int = 0  # 0 disables top-k filtering
     alg_temp: float = 0.0
     eps: float = 1e-3
     batched: bool = True

@@ -23,10 +23,29 @@ import jax.numpy as jnp
 from ..config import GenerationConfig
 
 
+def top_p_filter(logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
+    """Nucleus filtering (reference top_p_logits, generation_utils.py:22-33)."""
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+    # keep the first token above the threshold
+    cutoff_idx = jnp.sum(cum < top_p, axis=-1, keepdims=True)
+    cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+    return jnp.where(logits < cutoff, -jnp.inf, logits)
+
+
+def top_k_filter(logits: jnp.ndarray, top_k: int) -> jnp.ndarray:
+    """(reference top_k_logits, generation_utils.py:36-41)."""
+    k = min(top_k, logits.shape[-1])
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits < kth, -jnp.inf, logits)
+
+
 def sample_tokens(
     logits: jnp.ndarray,  # [..., V]
     rng: Optional[jax.Array],
     temperature: float = 0.0,
+    top_p: Optional[float] = None,
+    top_k: Optional[int] = None,
     margin_confidence: bool = False,
     neg_entropy: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -35,6 +54,10 @@ def sample_tokens(
     logits = logits.astype(jnp.float32)
     if temperature > 0:
         logits = logits / temperature
+    if top_p is not None and top_p < 1:
+        logits = top_p_filter(logits, top_p)
+    if top_k is not None and top_k > 0:
+        logits = top_k_filter(logits, top_k)
     probs = jax.nn.softmax(logits, axis=-1)
     if temperature > 0 and rng is not None:
         x0 = jax.random.categorical(rng, logits, axis=-1)
@@ -82,6 +105,8 @@ def make_unmask_sampler(
             logits,
             r_samp,
             temperature=cfg.temperature,
+            top_p=cfg.top_p if cfg.top_p > 0 else None,
+            top_k=cfg.top_k if cfg.top_k > 0 else None,
             margin_confidence=(alg == "topk_margin"),
             neg_entropy=(alg == "entropy"),
         )

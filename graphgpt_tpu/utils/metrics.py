@@ -96,6 +96,31 @@ def _regression(scores, labels) -> Dict[str, float]:
     return {"mae": mae(scores, labels), "mse": mse(scores, labels)}
 
 
+@_metrics("graph_clustering")
+def _graph_clustering(scores, labels) -> Dict[str, float]:
+    """Token-level clustering metrics for OneID-style tasks: accuracy plus
+    per-graph mean recall/precision over predicted groups
+    (reference metrics_utils.py graph_clustering registry entry)."""
+    preds = np.asarray(scores).argmax(-1).reshape(-1)
+    labels = np.asarray(labels).reshape(-1)
+    valid = labels != -100
+    preds, labels = preds[valid], labels[valid]
+    if len(labels) == 0:
+        return {"acc": float("nan")}
+    acc = float((preds == labels).mean())
+    recalls, precisions = [], []
+    for c in np.unique(labels):
+        tp = float(((preds == c) & (labels == c)).sum())
+        recalls.append(tp / max((labels == c).sum(), 1))
+        if (preds == c).sum() > 0:
+            precisions.append(tp / (preds == c).sum())
+    return {
+        "acc": acc,
+        "recall": float(np.mean(recalls)),
+        "precision": float(np.mean(precisions)) if precisions else float("nan"),
+    }
+
+
 def _softmax(x):
     x = x - x.max(-1, keepdims=True)
     e = np.exp(x)
