@@ -176,8 +176,10 @@ class ModelConfig:
 
     # 3D-position pretrain head (GraphGPTPosPred; reference
     # configs/model/base.yaml pos_pt_head block)
-    pos_problem_type: str = "pos-smtp-line"  # pos-smtp-line|pos-smtp-cube
+    pos_problem_type: str = "pos-smtp-line"  # pos-smtp-line|pos-smtp-cube|pos-smtp-mix
     pos_num_bins: int = 256  # line bins (or cube bins per axis)
+    pos_num_bins_line: int = 256  # mix: line-token bins
+    pos_num_bins_cube: int = 32  # mix: cube-token bins per axis
     smtp_3d_power: float = 1.0  # -1 cosine, -2 arccos, else polynomial
     smtp_3d_noise_scale: float = 0.2
     coord_lvl_mask: bool = True
@@ -307,6 +309,9 @@ class TrainingConfig:
     max_length: int = 1024
     pad_to_multiple_of: int = 8
     pack_tokens: float = 0.0  # >0 enables sequence packing to mpe
+    # SMTP masking drawn once per packed row (reference packed-sequence
+    # semantics) instead of per sample before packing
+    mask_after_pack: bool = False
     num_workers: int = 8
     valid_percent: float = 0.0
     do_valid: bool = False

@@ -65,6 +65,7 @@ class GraphTokenLoader:
         seed: int = 0,
         drop_last: bool = True,
         prefetch: int = 4,
+        post_pack_fn=None,
     ):
         self.dataset = dataset
         self.tokenizer = tokenizer
@@ -76,6 +77,9 @@ class GraphTokenLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        # post_pack_fn(sample, rng) -> sample; applied per packed row (e.g.
+        # single-draw SMTP masking, reference tokenizer_utils.py:282-325)
+        self.post_pack_fn = post_pack_fn
         self._pool = None
 
     def _ensure_pool(self):
@@ -108,6 +112,9 @@ class GraphTokenLoader:
         stream = self._sample_stream(indices, epoch)
         if self.pack:
             stream = pack_samples(stream, self.mpe)
+            if self.post_pack_fn is not None:
+                rng = np.random.default_rng((self.seed, epoch, 777))
+                stream = (self.post_pack_fn(s, rng) for s in stream)
         buf: List[TokenizedSample] = []
         for s in stream:
             buf.append(s)

@@ -485,6 +485,40 @@ def _polynomial_mask_ratio(mlm_cfg, rng: np.random.Generator) -> Tuple[float, fl
     return alpha_t, 1.0
 
 
+def mask_packed_row(
+    sample: TokenizedSample,
+    mask_token_id: int,
+    mlm_cfg,
+    rng: np.random.Generator,
+    vocab_size: int,
+) -> TokenizedSample:
+    """Apply SMTP masking to an already-packed row with ONE mask-ratio draw
+    shared by all segments — the reference's packed-sequence semantics
+    (prepare_inputs_for_pretrain_mlm loops segments under a single alpha_t,
+    tokenizer_utils.py:282-325). Input sample must hold clean ids."""
+    alpha_t, wgt = _polynomial_mask_ratio(mlm_cfg, rng)
+    masked, labels = smtp_mask_stacked(
+        sample.input_ids,
+        mask_token_id,
+        alpha_t,
+        rng,
+        mtp=tuple(mlm_cfg.mtp),
+        vocab_size=vocab_size,
+    )
+    # never learn from padding rows
+    pad = sample.input_ids[..., 0] == PAD_ID if sample.input_ids.ndim == 2 else sample.input_ids == PAD_ID
+    labels = np.where(pad[..., None] if labels.ndim == 2 else pad, LABEL_PAD_ID, labels)
+    return TokenizedSample(
+        input_ids=masked,
+        labels=labels,
+        position_ids=sample.position_ids,
+        attention_mask=sample.attention_mask,
+        wgt=float(wgt) if mlm_cfg.dlm_wgt else None,
+        segment_lengths=sample.segment_lengths,
+        extras=sample.extras,
+    )
+
+
 def smtp_mask_stacked(
     input_ids: np.ndarray,
     mask_token_id: int,

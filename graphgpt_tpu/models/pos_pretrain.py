@@ -53,9 +53,21 @@ def init_pos_pred_params(cfg: ModelConfig, key: jax.Array) -> Params:
             params["pos_token_agg_w"] = jax.random.uniform(
                 ks[7], (3, d), jnp.float32, -bound, bound
             )
-    else:  # cube: weight-tied embed/head over bins^3 + 2
+    elif cfg.pos_problem_type == "pos-smtp-cube":
+        # weight-tied embed/head over bins^3 + 2
         vocab = cfg.pos_num_bins**3 + 2
         params["embed_pos_token"] = _normal(ks[4], (vocab, d), std)
+    else:  # pos-smtp-mix: both geometries (modeling_pretrain.py:413-471)
+        nl = cfg.pos_num_bins_line
+        line_vocab = nl * 3 + 2 if cfg.pos_agg_method == "sum" else nl + 2
+        params["embed_line_token"] = _normal(ks[4], (line_vocab, d), std)
+        params["line_token_proj"] = _normal(ks[5], (d, 3 * d), std)
+        params["line_token_head"] = _normal(ks[6], (d, line_vocab), std)
+        cube_vocab = cfg.pos_num_bins_cube**3 + 2
+        params["embed_cube_token"] = _normal(ks[7], (cube_vocab, d), std)
+        params["cube_token_proj"] = _normal(
+            jax.random.fold_in(key, 99), (d, d), std
+        )
     return params
 
 
@@ -153,7 +165,7 @@ def pos_pred_forward(
         lab = _discrete_pos(raw_pos, nb, range_min, range_max) + shift[None, None, :]
         valid_lab = mask3 & ~sample_mask[..., None] & pad_mask[..., None]
         labels_3d = jnp.where(valid_lab, lab, -100)
-    else:  # cube
+    elif cfg.pos_problem_type == "pos-smtp-cube":
         nb = cfg.pos_num_bins
         mult = jnp.asarray([nb * nb, nb, 1])
         bins = _discrete_pos(noisy_pos, nb, range_min, range_max)
@@ -166,6 +178,30 @@ def pos_pred_forward(
         lab = (_discrete_pos(raw_pos, nb, range_min, range_max) * mult[None, None, :]).sum(-1) + 2
         valid_lab = m_any & ~sample_mask & pad_mask
         labels_3d = jnp.where(valid_lab, lab, -100)[..., None]
+    else:  # pos-smtp-mix: line + cube token embeddings, two 3D losses
+        nl = cfg.pos_num_bins_line
+        shift = (
+            jnp.asarray([0, nl, nl * 2]) if cfg.pos_agg_method == "sum" else jnp.zeros(3, jnp.int32)
+        )
+        lt = _discrete_pos(jnp.where(mask3, 0.0, noisy_pos), nl, range_min, range_max)
+        lt = lt + shift[None, None, :] + 2
+        lt = jnp.where(sample_mask[..., None] | mask3, 1, lt)
+        lt = jnp.where(~pad_mask[..., None], 0, lt)
+        line_emb = params["embed_line_token"].astype(dt)[lt].sum(axis=-2)
+        nc = cfg.pos_num_bins_cube
+        mult = jnp.asarray([nc * nc, nc, 1])
+        m_any = mask3.any(-1)
+        ct = (_discrete_pos(noisy_pos, nc, range_min, range_max) * mult[None, None, :]).sum(-1) + 2
+        ct = jnp.where(sample_mask | m_any, 1, ct)
+        ct = jnp.where(~pad_mask, 0, ct)
+        cube_emb = params["embed_cube_token"].astype(dt)[ct]
+        pos_embeds = line_emb + cube_emb
+        lab_line = _discrete_pos(raw_pos, nl, range_min, range_max) + shift[None, None, :] + 2
+        valid_l = mask3 & ~sample_mask[..., None] & pad_mask[..., None]
+        labels_3d = jnp.where(valid_l, lab_line, -100)  # line labels (head1)
+        lab_cube = (_discrete_pos(raw_pos, nc, range_min, range_max) * mult[None, None, :]).sum(-1) + 2
+        valid_c = m_any & ~sample_mask & pad_mask
+        labels_cube = jnp.where(valid_c, lab_cube, -100)[..., None]
 
     embeds = embeds + pos_embeds
     hidden = backbone_apply(
@@ -188,9 +224,18 @@ def pos_pred_forward(
             params["pos_bins_proj"],
             params["pos_bins_head"],
         )
-    else:
+    elif cfg.pos_problem_type == "pos-smtp-cube":
         head = params["embed_pos_token"].T  # weight-tied (modeling_pretrain.py:406)
         loss_3d = losses.chunked_stacked_ce(hidden, labels_3d, None, head)
+    else:  # mix: line loss is head1, cube loss joins the aux head
+        loss_3d = losses.chunked_stacked_ce(
+            hidden, labels_3d, params["line_token_proj"], params["line_token_head"]
+        )
+        cube_hidden = hidden @ params["cube_token_proj"].astype(hidden.dtype)
+        cube_loss = losses.chunked_stacked_ce(
+            cube_hidden, labels_cube, None, params["embed_cube_token"].T
+        )
+        aux_loss = aux_loss + cube_loss
     loss = loss_3d + aux_loss
     return {
         "loss": loss,

@@ -147,15 +147,31 @@ class PretrainPipeline:
             heads.pretrain_forward, m, self.tx, tcfg.optimizer, self.schedule
         )
         self.eval_step = make_eval_step(heads.pretrain_forward, m)
-        # loader
+        # loader (optionally with reference-style per-packed-row masking)
+        post_pack_fn = None
+        loader_tokenizer = self.tokenizer
+        if pack and tcfg.mask_after_pack and tcfg.task_type == "pretrain-mlm":
+            from ..data.tokenizer import mask_packed_row
+
+            loader_tokenizer = StackedGSTTokenizer(
+                self.cfg.tokenization, self.tokenizer.vocab_map, task_type="pretrain"
+            )
+            mask_id = self.tokenizer.mask_id
+            vocab_size = self.tokenizer.vocab_size
+            mlm_cfg = tcfg.pretrain_mlm
+
+            def post_pack_fn(s, rng):
+                return mask_packed_row(s, mask_id, mlm_cfg, rng, vocab_size)
+
         self.loader = GraphTokenLoader(
             self.dataset,
-            self.tokenizer,
+            loader_tokenizer,
             batch_size=max(tcfg.batch_size // jax.process_count(), 1),
             mpe=tcfg.max_length,
             pack=pack,
             num_workers=tcfg.num_workers,
             seed=tcfg.seed,
+            post_pack_fn=post_pack_fn,
         )
         # checkpointing + auto-resume
         self.ckpt = Checkpointer(os.path.join(tcfg.output_dir, "ckpt"))
@@ -184,7 +200,13 @@ class PretrainPipeline:
         # per-host shard
         idx = idx[jax.process_index() :: jax.process_count()]
         for batch in self.loader.prefetched(idx, epoch):
-            yield mesh_lib.shard_batch(self.mesh, dict(batch.data))
+            data = dict(batch.data)
+            # token count computed host-side BEFORE device_put: reading the
+            # device array back each step would force a dispatch sync
+            n_tokens = int(np.sum(data["segment_ids"] > 0))
+            sharded = mesh_lib.shard_batch(self.mesh, data)
+            sharded["_host_token_count"] = n_tokens
+            yield sharded
 
     def run(self, max_steps: Optional[int] = None):
         cfg = self.cfg.training
@@ -196,10 +218,11 @@ class PretrainPipeline:
         with self.mesh:
             while global_step < step_limit:
                 for batch in self._device_batches(epoch):
+                    n_tokens = batch.pop("_host_token_count", 0)
                     self.state, metrics = self.train_step(self.state, batch, rng)
                     global_step += 1
-                    b, p = batch["segment_ids"].shape
-                    thr.update(int(np.sum(np.asarray(batch["segment_ids"]) > 0)), b)
+                    b = batch["segment_ids"].shape[0]
+                    thr.update(n_tokens, b)
                     if global_step % cfg.schedule.logging_steps == 0:
                         m = {k: float(v) for k, v in metrics.items()}
                         m.update(thr.rates())

@@ -78,7 +78,7 @@ def _batch(cfg, b=2, p=12):
     }
 
 
-@pytest.mark.parametrize("problem", ["pos-smtp-line", "pos-smtp-cube"])
+@pytest.mark.parametrize("problem", ["pos-smtp-line", "pos-smtp-cube", "pos-smtp-mix"])
 def test_pos_pred_forward_and_grads(problem):
     cfg = _cfg(problem)
     params = pos_pretrain.init_pos_pred_params(cfg, jax.random.PRNGKey(0))
@@ -92,7 +92,8 @@ def test_pos_pred_forward_and_grads(problem):
     grads = jax.jit(jax.grad(lambda p: pos_pretrain.pos_pred_forward(p, cfg, _batch(cfg), rng=jax.random.PRNGKey(1), train=True)["loss"]))(params)
     flat = jax.tree_util.tree_leaves(grads)
     assert all(np.isfinite(np.asarray(g)).all() for g in flat)
-    assert float(jnp.abs(grads["embed_pos_token"]).sum()) > 0
+    key = "embed_pos_token" if problem != "pos-smtp-mix" else "embed_line_token"
+    assert float(jnp.abs(grads[key]).sum()) > 0
 
 
 def test_pos_pred_tokenizer_integration():
