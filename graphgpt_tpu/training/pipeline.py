@@ -243,6 +243,7 @@ class PretrainPipeline:
                 epoch += 1
         self._save_and_eval(global_step, epoch)
         self.ckpt.wait()
+        self.loader.close()  # terminate worker pool before interpreter exit
         return self.state
 
     def _save_and_eval(self, step: int, epoch: int):
