@@ -200,9 +200,7 @@ def backbone_apply(
     layer_idx = jnp.arange(n_layers)
     use_ls = "ls1" in params["layers"]
 
-    def layer_fn(carry, scanned):
-        x = carry
-        lp, dp_rate, idx = scanned
+    def apply_one(x, lp, dp_rate, idx):
         if rng is not None:
             lrng = jax.random.fold_in(rng, idx)
             r_attn, r_mlp, r_dp1, r_dp2, r_adrop = jax.random.split(lrng, 5)
@@ -232,8 +230,38 @@ def backbone_apply(
         if use_ls:
             mlp_out = mlp_out * lp["ls2"].astype(dt)
         x = x + _drop_path(mlp_out, dp_rate, r_dp2, train)
-        return x, None
+        return x
 
+    def layer_fn(carry, scanned):
+        lp, dp_rate, idx = scanned
+        return apply_one(carry, lp, dp_rate, idx), None
+
+    if cfg.remat and cfg.remat_policy == "pairs" and n_layers % 2 == 0:
+        # checkpoint at layer-pair granularity: halves recompute cost for
+        # one extra saved activation per pair
+        grouped = jax.tree_util.tree_map(
+            lambda a: a.reshape((n_layers // 2, 2) + a.shape[1:]), params["layers"]
+        )
+
+        def pair_fn(carry, scanned):
+            lp2, dp2, idx2 = scanned
+            x = carry
+            for j in range(2):
+                x = apply_one(
+                    x,
+                    jax.tree_util.tree_map(lambda a: a[j], lp2),
+                    dp2[j],
+                    idx2[j],
+                )
+            return x, None
+
+        fn = jax.checkpoint(pair_fn)
+        x, _ = jax.lax.scan(
+            fn,
+            x,
+            (grouped, dp_rates.reshape(-1, 2), layer_idx.reshape(-1, 2)),
+        )
+        return rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     if cfg.remat:
         if cfg.remat_policy == "dots":
             # save matmul outputs, recompute elementwise: much cheaper
