@@ -236,30 +236,32 @@ def backbone_apply(
         lp, dp_rate, idx = scanned
         return apply_one(carry, lp, dp_rate, idx), None
 
-    if cfg.remat and cfg.remat_policy == "pairs" and n_layers % 2 == 0:
-        # checkpoint at layer-pair granularity: halves recompute cost for
-        # one extra saved activation per pair
+    group = {"pairs": 2, "quads": 4}.get(cfg.remat_policy, 1)
+    if cfg.remat and group > 1 and n_layers % group == 0:
+        # checkpoint at layer-group granularity: divides recompute cost by
+        # `group` for (group-1) extra saved activations per segment
         grouped = jax.tree_util.tree_map(
-            lambda a: a.reshape((n_layers // 2, 2) + a.shape[1:]), params["layers"]
+            lambda a: a.reshape((n_layers // group, group) + a.shape[1:]),
+            params["layers"],
         )
 
-        def pair_fn(carry, scanned):
-            lp2, dp2, idx2 = scanned
+        def group_fn(carry, scanned):
+            lpg, dpg, idxg = scanned
             x = carry
-            for j in range(2):
+            for j in range(group):
                 x = apply_one(
                     x,
-                    jax.tree_util.tree_map(lambda a: a[j], lp2),
-                    dp2[j],
-                    idx2[j],
+                    jax.tree_util.tree_map(lambda a: a[j], lpg),
+                    dpg[j],
+                    idxg[j],
                 )
             return x, None
 
-        fn = jax.checkpoint(pair_fn)
+        fn = jax.checkpoint(group_fn)
         x, _ = jax.lax.scan(
             fn,
             x,
-            (grouped, dp_rates.reshape(-1, 2), layer_idx.reshape(-1, 2)),
+            (grouped, dp_rates.reshape(-1, group), layer_idx.reshape(-1, group)),
         )
         return rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     if cfg.remat:
