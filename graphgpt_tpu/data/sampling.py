@@ -276,8 +276,15 @@ class EgoEdgeDataset:
         self.epoch = epoch
         pos = sample_pos_edges(self.pos_edges_all, self.percent, epoch, seed)
         rng = np.random.default_rng((seed, epoch, 7))
+        neg_group = None  # per-negative: index of its positive (MRR grouping)
         if self.fixed_neg is not None:
             neg = self.fixed_neg
+            if neg.ndim == 3:
+                # structured negatives [N_pos, K, 2]: each row belongs to a
+                # positive (ogbl-citation2/wikikg2 eval; ogb_utils.py:155-170)
+                n_pos, k, _ = neg.shape
+                neg_group = np.repeat(np.arange(n_pos), k)
+                neg = neg.reshape(-1, 2)
         elif self.method == "global":
             neg = sample_neg_edges_global(
                 self.big.num_nodes,
@@ -295,6 +302,11 @@ class EgoEdgeDataset:
         self.edges_with_y = np.concatenate(
             [np.concatenate([pos, neg], axis=0), y[:, None]], axis=1
         )
+        # grouping key per sample: positives map to themselves
+        if neg_group is not None:
+            self.group_idx = np.concatenate([np.arange(pos.shape[0]), neg_group])
+        else:
+            self.group_idx = None
 
     def __len__(self):
         return self.edges_with_y.shape[0]
@@ -326,4 +338,6 @@ class EgoEdgeDataset:
             root_n_id=np.asarray([r_src, r_dst]),
             idx=int(i),
         )
+        if self.group_idx is not None:
+            g.extra["eval_group"] = np.asarray([self.group_idx[i]], np.int64)
         return g

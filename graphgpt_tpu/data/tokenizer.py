@@ -295,6 +295,9 @@ class StackedGSTTokenizer:
             ids2 = np.concatenate([ids, rows], axis=0)
             p2 = ids2.shape[0]
             labels = np.full_like(ids2, LABEL_PAD_ID)
+            extras = {}
+            if "eval_group" in graph.extra:
+                extras["eval_group"] = np.asarray(graph.extra["eval_group"], np.int64)
             return TokenizedSample(
                 input_ids=ids2,
                 labels=labels,
@@ -303,6 +306,7 @@ class StackedGSTTokenizer:
                 edge_labels=np.asarray(graph.y, np.float32).reshape(-1),
                 wgt=graph.wgt,
                 segment_lengths=[p2],
+                extras=extras,
             )
         if task == "node":
             tgt = self.target_token_ids(graph, walk, ranks)

@@ -138,8 +138,8 @@ class FinetunePipeline:
                 out = ev(self.state, b)
                 all_scores.append(np.asarray(out["task_logits"], np.float64))
                 all_labels.append(np.asarray(batch[self._label_key()]))
-                if "idx" in batch:
-                    all_idx.append(np.asarray(batch["idx"]))
+                if "eval_group" in batch:
+                    all_idx.append(np.asarray(batch["eval_group"]).reshape(-1))
         if not all_scores:
             return {}
         scores = np.concatenate(all_scores)

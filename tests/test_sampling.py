@@ -138,3 +138,36 @@ def test_edge_dataset_tokenizes(big_graph):
     s = tok(ds[0], rng)
     assert s.edge_labels is not None
     assert s.input_ids.shape[1] == 4  # 1 + 2 + 1
+
+
+def test_structured_eval_negatives_grouping(big_graph):
+    """[N_pos, K, 2] fixed negatives carry their positive's group index."""
+    ei = big_graph.edge_index
+    mask = ei[0] < ei[1]
+    pos = ei[:, mask].T.astype(np.int64)[:5]
+    rng = np.random.default_rng(0)
+    neg = rng.integers(0, big_graph.num_nodes, size=(5, 3, 2))
+    ds = sampling.EgoEdgeDataset(
+        big_graph, depth_neighbors=[(1, 8)], pos_edges=pos, neg_edges=neg, seed=0
+    )
+    assert len(ds) == 5 + 15
+    assert ds.group_idx is not None
+    # positive i groups to i; its negatives share the group
+    g_pos = ds[2]
+    assert int(g_pos.extra["eval_group"][0]) == 2
+    g_neg = ds[5 + 3 * 2]  # first negative of positive 2
+    assert int(g_neg.extra["eval_group"][0]) == 2
+    # flows through the tokenizer into extras
+    from graphgpt_tpu.config import TokenizationConfig
+    from graphgpt_tpu.data import vocab as V
+    from graphgpt_tpu.data.tokenizer import StackedGSTTokenizer
+
+    cfg = TokenizationConfig()
+    cfg.semantics.node.discrete = "node_attr"
+    cfg.semantics.node.dim = 2
+    cfg.semantics.edge.discrete = "edge_attr"
+    cfg.semantics.edge.dim = 1
+    vm = V.vocab_map_from_list(V.build_vocab(cfg, [np.arange(5)] * 2, [np.arange(3)]))
+    tok = StackedGSTTokenizer(cfg, vm, task_type="edge")
+    s = tok(g_neg, np.random.default_rng(0))
+    assert int(s.extras["eval_group"][0]) == 2

@@ -99,11 +99,32 @@ def convert_edge_level(name: str, out_dir: str):
             payload[f"{split}_edge"] = d["edge"].numpy().astype(np.int64)
         if "edge_neg" in d:
             payload[f"{split}_edge_neg"] = d["edge_neg"].numpy().astype(np.int64)
+        if "source_node" in d:  # citation2: per-positive structured negatives
+            src = d["source_node"].numpy()
+            tgt = d["target_node"].numpy()
+            payload[f"{split}_edge"] = np.stack([src, tgt], axis=1).astype(np.int64)
+            if "target_node_neg" in d:
+                negs = d["target_node_neg"].numpy()  # [N, K]
+                payload[f"{split}_edge_neg"] = np.stack(
+                    [np.repeat(src[:, None], negs.shape[1], 1), negs], axis=2
+                ).astype(np.int64)  # [N, K, 2]
         if "head" in d:  # wikikg2 triples
             payload[f"{split}_edge"] = np.stack(
                 [d["head"].numpy(), d["tail"].numpy()], axis=1
             ).astype(np.int64)
             payload[f"{split}_relation"] = d["relation"].numpy().astype(np.int64)
+            if "head_neg" in d:
+                tail = d["tail"].numpy()
+                head = d["head"].numpy()
+                hn = d["head_neg"].numpy()
+                tn = d["tail_neg"].numpy()
+                # merge head- and tail-replacement negatives per positive
+                # (reference ogb_utils.py:105-128)
+                neg_h = np.stack([hn, np.repeat(tail[:, None], hn.shape[1], 1)], axis=2)
+                neg_t = np.stack([np.repeat(head[:, None], tn.shape[1], 1), tn], axis=2)
+                payload[f"{split}_edge_neg"] = np.concatenate(
+                    [neg_h, neg_t], axis=1
+                ).astype(np.int64)
     dest = os.path.join(out_dir, name)
     os.makedirs(dest, exist_ok=True)
     np.savez(os.path.join(dest, "big_graph.npz"), **payload)
