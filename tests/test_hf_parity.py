@@ -133,3 +133,46 @@ def test_hidden_states_match_hf_bidirectional():
     np.testing.assert_allclose(
         np.asarray(ours)[:, :12], theirs.numpy()[:, :12], rtol=2e-4, atol=2e-4
     )
+
+
+def test_per_layer_parity_harness():
+    """utils.parity compares every layer, not just the final states."""
+    from graphgpt_tpu.utils import parity
+
+    cfg = _cfg()
+    params = heads.init_pretrain_params(cfg, jax.random.PRNGKey(2))
+    rng = np.random.default_rng(2)
+    ids = rng.integers(1, cfg.vocab_size, size=(2, 16)).astype(np.int64)
+    # compare_with_hf raises internally if any layer deviates beyond
+    # rtol/atol; the report carries raw max-abs errors (rtol-scaled values
+    # can exceed atol for large activations)
+    report = parity.compare_with_hf(params, cfg, ids)
+    assert len(report) == cfg.num_hidden_layers + 1
+    assert all(v < 5e-3 for v in report.values()), report
+
+
+def test_iterative_matches_scan_backbone():
+    """The parity harness's iterative layer loop reproduces the scan path."""
+    from graphgpt_tpu.utils import parity
+    from graphgpt_tpu.models import modeling
+    import jax.numpy as jnp
+
+    cfg = _cfg()
+    cfg.causal_attention = False
+    params = heads.init_pretrain_params(cfg, jax.random.PRNGKey(3))
+    rng = np.random.default_rng(3)
+    b, p = 2, 12
+    ids = rng.integers(1, cfg.vocab_size, size=(b, p)).astype(np.int64)
+    pos = np.tile(np.arange(p), (b, 1))
+    seg = np.ones((b, p), np.int32)
+    acts = parity.per_layer_hidden_states(params, cfg, ids, pos, seg)
+    final_scan = modeling.model_hidden_states(
+        params, cfg, jnp.asarray(ids), jnp.asarray(pos), jnp.asarray(seg)
+    )
+    # scan output has the final norm applied; apply it to the harness output
+    normed = modeling.rms_norm(
+        jnp.asarray(acts[-1]), params["final_norm"], cfg.rms_norm_eps
+    )
+    np.testing.assert_allclose(
+        np.asarray(normed), np.asarray(final_scan), rtol=2e-4, atol=2e-4
+    )
