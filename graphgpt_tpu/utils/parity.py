@@ -108,8 +108,10 @@ def compare_with_hf(params, cfg, input_ids, rtol=2e-4, atol=2e-4) -> Dict[str, f
     model = LlamaModel(hf_cfg)
     sd = model.state_dict()
     for name in sd:
-        if name in sd_np:
-            sd[name] = torch.tensor(sd_np[name])
+        # bare LlamaModel keys lack the "model." prefix of the flat dict
+        key = name if name in sd_np else f"model.{name}"
+        if key in sd_np:
+            sd[name] = torch.tensor(sd_np[key])
     model.load_state_dict(sd)
     model.eval()
     with torch.no_grad():
