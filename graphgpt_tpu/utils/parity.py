@@ -127,4 +127,13 @@ def compare_with_hf(params, cfg, input_ids, rtol=2e-4, atol=2e-4) -> Dict[str, f
         np.tile(np.arange(p), (b, 1)),
         np.ones((b, p), np.int32),
     )
+    # HF's final hidden_states entry carries the final RMSNorm; apply ours
+    from ..models.modeling import rms_norm
+
+    import jax.numpy as jnp
+
+    ours[-1] = np.asarray(
+        rms_norm(jnp.asarray(ours[-1]), params["final_norm"], cfg.rms_norm_eps),
+        np.float32,
+    )
     return compare_activation_dumps(ours, theirs, rtol, atol)
