@@ -80,6 +80,33 @@ def xla_attention(
     return out.astype(q.dtype)
 
 
+def mixed_bi_causal_additive_mask(
+    segment_ids: jnp.ndarray,  # [B, P] (>0 valid)
+    bi_mask: jnp.ndarray,  # [B, P] 1 where token belongs to the bi region
+    mask_boundary: bool = True,
+) -> jnp.ndarray:
+    """Additive [B, 1, P, P] mask mixing causal attention with a per-sample
+    bidirectional region (reference _prepare_4d_causal_bi_attention_mask,
+    src/utils/attn_mask_utils.py:12-84): valid = causal lower-triangle OR
+    (both tokens in the bi region), restricted to non-padding; optionally
+    the boundary position (last causal token) is hidden from all later rows
+    (get_masked_boundary_idx:87-97)."""
+    b, p = segment_ids.shape
+    valid_tok = segment_ids > 0
+    idx = jnp.arange(p)
+    tri = idx[:, None] >= idx[None, :]
+    bi = (bi_mask > 0) & valid_tok
+    bi_block = bi[:, :, None] & bi[:, None, :]
+    allowed = tri[None] | bi_block
+    if mask_boundary:
+        boundary = valid_tok.sum(-1) - bi.sum(-1) - 1  # [B]
+        after = idx[None, :] > boundary[:, None]  # rows after the boundary
+        hide = after[:, :, None] & (idx[None, None, :] == boundary[:, None, None])
+        allowed = allowed & ~hide
+    allowed = allowed & valid_tok[:, None, :]
+    return jnp.where(allowed[:, None], 0.0, _NEG_INF)
+
+
 def attention(
     q, k, v, segment_ids, causal: bool = False, impl: str = "auto",
     softmax_scale: float | None = None, bi_causal_split: int = 0,

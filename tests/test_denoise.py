@@ -112,3 +112,20 @@ def test_atom_task_head_equivariance_direction():
     f1 = denoise.atom_task_head(params["denoise"], hidden, pids, dp(posj), cfg)
     f2 = denoise.atom_task_head(params["denoise"], hidden, pids, dp(posj + 5.0), cfg)
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), rtol=1e-5)
+
+
+def test_mixed_bi_causal_additive_mask():
+    from graphgpt_tpu.ops.attention import mixed_bi_causal_additive_mask
+
+    seg = jnp.ones((1, 8), jnp.int32)
+    bi = jnp.asarray([[0, 0, 0, 0, 0, 1, 1, 1]], jnp.int32)  # bi suffix len 3
+    m = np.asarray(mixed_bi_causal_additive_mask(seg, bi))[0, 0]
+    ok = m == 0
+    # causal prefix rows attend causally
+    assert ok[2, 0] and ok[2, 2] and not ok[2, 3]
+    # bi region rows attend each other both ways
+    assert ok[5, 7] and ok[7, 5]
+    # boundary (position 4 = last causal token) hidden from later rows
+    assert not ok[5, 4] and not ok[6, 4] and not ok[7, 4]
+    # but visible to itself/before
+    assert ok[4, 4]
