@@ -224,7 +224,7 @@ class ModelConfig:
     dtype: str = "bfloat16"  # activation/compute dtype
     param_dtype: str = "float32"
     remat: bool = False  # activation rematerialisation per layer
-    remat_policy: str = "full"  # full|dots (save matmul outputs only)
+    remat_policy: str = "full"  # full|pairs|quads|dots|save_attn
     attn_impl: str = "auto"  # auto|pallas|xla
 
     def finalize(self) -> "ModelConfig":

@@ -25,6 +25,7 @@ from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from ..config import ModelConfig
 from ..ops.attention import attention
@@ -216,6 +217,9 @@ def backbone_apply(
             q, k, v, segment_ids, causal=cfg.causal_attention, impl=cfg.attn_impl,
             bi_causal_split=cfg.bi_causal_split,
         )
+        # named for the save_attn remat policy: saving the kernel's output
+        # keeps the (VPU-bound) flash fwd out of the backward recompute
+        attn_out = checkpoint_name(attn_out, "attn_out")
         attn_out = attn_out.reshape(b, p, h * dh) @ lp["o"].astype(dt)
         attn_out = _dropout(attn_out, cfg.attention_dropout, r_adrop, train)
         if use_ls:
@@ -271,6 +275,11 @@ def backbone_apply(
             fn = jax.checkpoint(
                 layer_fn,
                 policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            )
+        elif cfg.remat_policy == "save_attn":
+            fn = jax.checkpoint(
+                layer_fn,
+                policy=jax.checkpoint_policies.save_only_these_names("attn_out"),
             )
         else:
             fn = jax.checkpoint(layer_fn)

@@ -7,9 +7,25 @@ reconstructed inside the kernel from per-token segment ids (0 = padding,
 equal ids = same packed segment), composed with an optional causal
 constraint.
 
-Forward: online-softmax tiling — grid (B*H, nq, nk) with the kv axis
-iterated sequentially per q tile; running max/denominator in VMEM scratch,
-fp32 accumulation, bf16 MXU matmuls.
+Performance notes (v5e, dh=64 — the kernel is VPU-bound, not MXU-bound):
+  - q/k/v stay in their native [B, P, H*Dh] layout (a free reshape of the
+    projection output) — no physical [B,P,H,D] -> [B*H,P,D] transposes;
+  - ALL heads are processed per grid step by an unrolled in-kernel loop:
+    the segment/causal mask is built once per (q-tile, kv-tile) instead of
+    once per head, kv tiles are fetched once for all heads, and grid-step
+    overhead is amortised H-fold;
+  - q arrives pre-scaled (softmax scale folded into the projection outside
+    the kernel), saving a [BQ, BK] fp32 multiply per tile and head;
+  - when the whole kv fits one block (P <= _MAX_SINGLE_BLOCK) a fast path
+    runs a plain per-tile softmax with no online-softmax running stats;
+  - masked logits sit at -1e30 so exp() zeroes them with no second
+    `where`; fully-padded rows are zeroed with [BQ, Dh]-shaped row masks
+    (on `out` in fwd, on `do` in bwd), never [BQ, BK]-shaped ones.
+
+Forward (long-P path): online-softmax tiling — the kv axis iterated
+sequentially per q tile; running max/denominator (one lane column per
+head) and the output accumulator live in VMEM scratch; fp32 accumulation,
+bf16 MXU matmuls.
 
 Backward: flash-style recompute kernels (dq in one pass over kv tiles; dkv
 in one pass over q tiles) — no [P, P] tensor is ever materialised.
@@ -26,6 +42,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
+# largest kv (or q) extent processed as ONE tile; above this the streaming
+# online-softmax kernels take over. 2048x512 fp32 logits = 4 MiB VMEM.
+_MAX_SINGLE_BLOCK = 2048
+# raise the scoped-vmem cap for these kernels (XLA's 16 MiB default is far
+# below the v5e's physical VMEM; big single-tile blocks need the headroom)
+_VMEM_LIMIT = 100 * 1024 * 1024
 
 
 def _pick_block(p: int, target: int = 512) -> int:
@@ -35,22 +57,49 @@ def _pick_block(p: int, target: int = 512) -> int:
     return max(b, 1)
 
 
-def _mask_for_tiles(seg_q, seg_k, qi, ki, bq, bk, causal):
-    """[BQ, BK] bool validity from segment equality (+ causal)."""
+def _tile_neg(seg_q, seg_k, qi, ki, bq, bk, causal):
+    """[BQ, BK] additive mask (0 valid / -1e30 masked), built ONCE per tile
+    and shared by every head."""
     valid = (seg_q[:, None] == seg_k[None, :]) & (seg_k[None, :] > 0)
     if causal:
         rows = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
         cols = ki * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
         valid = valid & (rows >= cols)
-    return valid
+    return jnp.where(valid, 0.0, _NEG_INF)
 
 
 # ---------------------------------------------------------------------------
-# Forward kernel
+# Forward kernels (q pre-scaled; arrays [B, P, H*Dh]; lse [B, H, P])
 # ---------------------------------------------------------------------------
-def _fwd_kernel(
+def _fwd_kernel_single(
+    q_ref, k_ref, v_ref, segq_ref, segk_ref, out_ref, lse_ref,
+    *, causal: bool, bq: int, bk: int, h: int, dh: int
+):
+    """Whole kv in one tile: plain softmax, no running stats."""
+    qi = pl.program_id(1)
+    neg = _tile_neg(segq_ref[0, 0], segk_ref[0, 0], qi, 0, bq, bk, causal)
+    rowvalid = segq_ref[0, 0][:, None] > 0
+    for i in range(h):
+        sl = slice(i * dh, (i + 1) * dh)
+        s = jax.lax.dot_general(
+            q_ref[0, :, sl], k_ref[0, :, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + neg
+        m = jnp.max(s, axis=-1, keepdims=True)  # [BQ, 1]
+        p = jnp.exp(s - m)  # masked entries -> 0 (or 1s on fully-padded rows)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, :, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[0, :, sl] = jnp.where(rowvalid, pv / l, 0.0).astype(out_ref.dtype)
+        lse = m[:, 0] + jnp.log(l[:, 0])
+        lse_ref[0, i] = jnp.where(m[:, 0] <= _NEG_INF, _NEG_INF, lse)
+
+
+def _fwd_kernel_stream(
     q_ref, k_ref, v_ref, segq_ref, segk_ref, out_ref, lse_ref, acc_ref, m_ref, l_ref,
-    *, scale: float, causal: bool, bq: int, bk: int, nk: int
+    *, causal: bool, bq: int, bk: int, nk: int, h: int, dh: int
 ):
     ki = pl.program_id(2)
     qi = pl.program_id(1)
@@ -68,82 +117,122 @@ def _fwd_kernel(
 
     @pl.when(run)
     def _step():
-        q = q_ref[0]  # [BQ, D]
-        k = k_ref[0]  # [BK, D]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # [BQ, BK]
-        valid = _mask_for_tiles(segq_ref[0, 0], segk_ref[0, 0], qi, ki, bq, bk, causal)
-        s = jnp.where(valid, s, _NEG_INF)
-        # m/l live replicated across the 128-lane axis (TPU min tile)
-        m_prev = m_ref[:, :1]  # [BQ, 1]
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)  # [BQ, BK]
-        p = jnp.where(valid, p, 0.0)
-        alpha = jnp.exp(m_prev - m_new)  # [BQ, 1]
-        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-        pv = jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc_ref[:] = acc_ref[:] * alpha + pv
+        neg = _tile_neg(segq_ref[0, 0], segk_ref[0, 0], qi, ki, bq, bk, causal)
+        for i in range(h):
+            sl = slice(i * dh, (i + 1) * dh)
+            s = jax.lax.dot_general(
+                q_ref[0, :, sl], k_ref[0, :, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + neg  # [BQ, BK]
+            # running max/denominator columns for this head
+            m_prev = m_ref[:, i : i + 1]  # [BQ, 1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m_prev - m_new)  # [BQ, 1]
+            l_ref[:, i : i + 1] = l_ref[:, i : i + 1] * alpha + jnp.sum(
+                p, axis=-1, keepdims=True
+            )
+            m_ref[:, i : i + 1] = m_new
+            pv = jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[0, :, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_ref[:, sl] = acc_ref[:, sl] * alpha + pv
 
     @pl.when(ki == nk - 1)
     def _finish():
-        l = l_ref[:, :1]
-        out = acc_ref[:] / jnp.where(l == 0.0, 1.0, l)
-        out_ref[0] = out.astype(out_ref.dtype)
-        # log-sum-exp residual for the backward pass
-        lse = m_ref[:, :1] + jnp.log(jnp.where(l == 0.0, 1.0, l))
-        lse_ref[0, 0] = jnp.where(l[:, 0] == 0.0, _NEG_INF, lse[:, 0])
+        rowvalid = segq_ref[0, 0][:, None] > 0
+        for i in range(h):
+            sl = slice(i * dh, (i + 1) * dh)
+            l = l_ref[:, i : i + 1]
+            lsafe = jnp.where(l == 0.0, 1.0, l)
+            out_ref[0, :, sl] = jnp.where(
+                rowvalid, acc_ref[:, sl] / lsafe, 0.0
+            ).astype(out_ref.dtype)
+            lse = m_ref[:, i] + jnp.log(lsafe[:, 0])
+            lse_ref[0, i] = jnp.where(l[:, 0] == 0.0, _NEG_INF, lse)
 
 
-def _flash_fwd(q, k, v, segment_ids, causal, scale, bq, bk):
-    """q,k,v: [BH, P, D] (heads folded into batch); segment_ids: [BH, P]."""
-    bh, p, d = q.shape
+def _flash_fwd(q, k, v, segment_ids, causal, bq, bk, h, dh):
+    """q,k,v: [B, P, H*Dh] with q pre-scaled; segment_ids: [B, P].
+
+    Returns out [B, P, H*Dh] and lse [B, H, P]."""
+    b, p, hd = q.shape
     nq, nk = p // bq, p // bk
-    seg3 = segment_ids.reshape(bh, 1, p)  # (.., 1, P): block (1,1,B) is tileable
-    kernel = functools.partial(
-        _fwd_kernel, scale=scale, causal=causal, bq=bq, bk=bk, nk=nk
-    )
+    seg3 = segment_ids.reshape(b, 1, p)
+    qspec = pl.BlockSpec((1, bq, hd), lambda b, i, j: (b, i, 0))
+    kspec = pl.BlockSpec((1, bk, hd), lambda b, i, j: (b, j, 0))
+    segq = pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i))
+    segk = pl.BlockSpec((1, 1, bk), lambda b, i, j: (b, 0, j))
+    lspec = pl.BlockSpec((1, h, bq), lambda b, i, j: (b, 0, i))
+    out_shape = [
+        jax.ShapeDtypeStruct((b, p, hd), q.dtype),
+        jax.ShapeDtypeStruct((b, h, p), jnp.float32),
+    ]
+    if nk == 1:
+        kernel = functools.partial(
+            _fwd_kernel_single, causal=causal, bq=bq, bk=bk, h=h, dh=dh
+        )
+        scratch = []
+    else:
+        kernel = functools.partial(
+            _fwd_kernel_stream, causal=causal, bq=bq, bk=bk, nk=nk, h=h, dh=dh
+        )
+        scratch = [
+            pltpu.VMEM((bq, hd), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+        ]
     out, lse = pl.pallas_call(
         kernel,
-        grid=(bh, nq, nk),
-        in_specs=[
-            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i)),
-            pl.BlockSpec((1, 1, bk), lambda b, i, j: (b, 0, j)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bh, p, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, 1, p), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((bq, d), jnp.float32),
-            pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, 128), jnp.float32),
-        ],
+        grid=(b, nq, nk),
+        in_specs=[qspec, kspec, kspec, segq, segk],
+        out_specs=[qspec, lspec],
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
     )(q, k, v, seg3, seg3)
-    return out, lse[:, 0, :]
+    return out, lse
 
 
 # ---------------------------------------------------------------------------
-# Backward kernels
+# Backward kernels (q pre-scaled; dq returned in pre-scaled units)
 # ---------------------------------------------------------------------------
-def _dq_kernel(
+def _dq_kernel_single(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, segq_ref, segk_ref,
-    dq_ref, acc_ref, *, scale, causal, bq, bk, nk
+    dq_ref, *, causal, bq, bk, h, dh
+):
+    qi = pl.program_id(1)
+    neg = _tile_neg(segq_ref[0, 0], segk_ref[0, 0], qi, 0, bq, bk, causal)
+    rowvalid = segq_ref[0, 0][:, None] > 0
+    for i in range(h):
+        sl = slice(i * dh, (i + 1) * dh)
+        k = k_ref[0, :, sl]
+        s = jax.lax.dot_general(
+            q_ref[0, :, sl], k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + neg
+        p = jnp.exp(s - lse_ref[0, i][:, None])
+        # [BQ,1] row mask on do zeroes every padding-row contribution
+        do = jnp.where(rowvalid, do_ref[0, :, sl], 0.0)
+        dp = jax.lax.dot_general(
+            do, v_ref[0, :, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BQ, BK]
+        ds = p * (dp - delta_ref[0, i][:, None])
+        dq = jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
+
+
+def _dq_kernel_stream(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, segq_ref, segk_ref,
+    dq_ref, acc_ref, *, causal, bq, bk, nk, h, dh
 ):
     qi, ki = pl.program_id(1), pl.program_id(2)
 
@@ -157,33 +246,68 @@ def _dq_kernel(
 
     @pl.when(run)
     def _step():
-        q = q_ref[0]
-        k = k_ref[0]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        valid = _mask_for_tiles(segq_ref[0, 0], segk_ref[0, 0], qi, ki, bq, bk, causal)
-        lse = lse_ref[0, 0][:, None]  # [BQ, 1]
-        p = jnp.where(valid, jnp.exp(s - lse), 0.0)
-        dp = jax.lax.dot_general(
-            do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [BQ, BK]
-        delta = delta_ref[0, 0][:, None]
-        ds = p * (dp - delta)
-        acc_ref[:] += jax.lax.dot_general(
-            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
+        neg = _tile_neg(segq_ref[0, 0], segk_ref[0, 0], qi, ki, bq, bk, causal)
+        rowvalid = segq_ref[0, 0][:, None] > 0
+        for i in range(h):
+            sl = slice(i * dh, (i + 1) * dh)
+            k = k_ref[0, :, sl]
+            s = jax.lax.dot_general(
+                q_ref[0, :, sl], k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + neg
+            p = jnp.exp(s - lse_ref[0, i][:, None])
+            do = jnp.where(rowvalid, do_ref[0, :, sl], 0.0)
+            dp = jax.lax.dot_general(
+                do, v_ref[0, :, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [BQ, BK]
+            ds = p * (dp - delta_ref[0, i][:, None])
+            acc_ref[:, sl] += jax.lax.dot_general(
+                ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
     @pl.when(ki == nk - 1)
     def _finish():
         dq_ref[0] = acc_ref[:].astype(dq_ref.dtype)
 
 
-def _dkv_kernel(
+def _dkv_kernel_single(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, segq_ref, segk_ref,
-    dk_ref, dv_ref, dk_acc, dv_acc, *, scale, causal, bq, bk, nq
+    dk_ref, dv_ref, *, causal, bq, bk, h, dh
+):
+    ki = pl.program_id(1)
+    neg = _tile_neg(segq_ref[0, 0], segk_ref[0, 0], 0, ki, bq, bk, causal)
+    rowvalid = segq_ref[0, 0][:, None] > 0
+    for i in range(h):
+        sl = slice(i * dh, (i + 1) * dh)
+        q = q_ref[0, :, sl]
+        s = jax.lax.dot_general(
+            q, k_ref[0, :, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + neg  # [BQ, BK]
+        p = jnp.exp(s - lse_ref[0, i][:, None])
+        do = jnp.where(rowvalid, do_ref[0, :, sl], 0.0)
+        dv = jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BK, Dh]
+        dp = jax.lax.dot_general(
+            do, v_ref[0, :, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta_ref[0, i][:, None])  # [BQ, BK]
+        dk = jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BK, Dh]
+        dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
+
+
+def _dkv_kernel_stream(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, segq_ref, segk_ref,
+    dk_ref, dv_ref, dk_acc, dv_acc, *, causal, bq, bk, nq, h, dh
 ):
     ki, qi = pl.program_id(1), pl.program_id(2)
 
@@ -198,29 +322,30 @@ def _dkv_kernel(
 
     @pl.when(run)
     def _step():
-        q = q_ref[0]
-        k = k_ref[0]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # [BQ, BK]
-        valid = _mask_for_tiles(segq_ref[0, 0], segk_ref[0, 0], qi, ki, bq, bk, causal)
-        lse = lse_ref[0, 0][:, None]
-        p = jnp.where(valid, jnp.exp(s - lse), 0.0)
-        do = do_ref[0]
-        dv_acc[:] += jax.lax.dot_general(
-            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [BK, D]
-        dp = jax.lax.dot_general(
-            do, v_ref[0], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        delta = delta_ref[0, 0][:, None]
-        ds = p * (dp - delta)  # [BQ, BK]
-        dk_acc[:] += jax.lax.dot_general(
-            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale  # [BK, D]
+        neg = _tile_neg(segq_ref[0, 0], segk_ref[0, 0], qi, ki, bq, bk, causal)
+        rowvalid = segq_ref[0, 0][:, None] > 0
+        for i in range(h):
+            sl = slice(i * dh, (i + 1) * dh)
+            q = q_ref[0, :, sl]
+            s = jax.lax.dot_general(
+                q, k_ref[0, :, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + neg  # [BQ, BK]
+            p = jnp.exp(s - lse_ref[0, i][:, None])
+            do = jnp.where(rowvalid, do_ref[0, :, sl], 0.0)
+            dv_acc[:, sl] += jax.lax.dot_general(
+                p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [BK, Dh]
+            dp = jax.lax.dot_general(
+                do, v_ref[0, :, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = p * (dp - delta_ref[0, i][:, None])  # [BQ, BK]
+            dk_acc[:, sl] += jax.lax.dot_general(
+                ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [BK, Dh]
 
     @pl.when(qi == nq - 1)
     def _finish():
@@ -228,92 +353,105 @@ def _dkv_kernel(
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-def _flash_bwd(q, k, v, segment_ids, out, lse, do, causal, scale, bq, bk):
-    bh, p, d = q.shape
+def _flash_bwd(q, k, v, segment_ids, out, lse, do, causal, h, dh):
+    b, p, hd = q.shape
+    seg3 = segment_ids.reshape(b, 1, p)
+    delta = jnp.einsum(
+        "bphd,bphd->bhp",
+        do.astype(jnp.float32).reshape(b, p, h, dh),
+        out.astype(jnp.float32).reshape(b, p, h, dh),
+    )
+    # dq: whole kv per tile when it fits
+    bq = _pick_block(p)
+    bk = p if p <= _MAX_SINGLE_BLOCK else _pick_block(p, 1024)
     nq, nk = p // bq, p // bk
-    seg3 = segment_ids.reshape(bh, 1, p)
-    lse3 = lse.reshape(bh, 1, p)
-    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
-    delta3 = delta.reshape(bh, 1, p)
-    common = dict(scale=scale, causal=causal, bq=bq, bk=bk)
+    qspec = pl.BlockSpec((1, bq, hd), lambda b, i, j: (b, i, 0))
+    kspec = pl.BlockSpec((1, bk, hd), lambda b, i, j: (b, j, 0))
+    rowq = pl.BlockSpec((1, h, bq), lambda b, i, j: (b, 0, i))
+    segq = pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i))
+    segk = pl.BlockSpec((1, 1, bk), lambda b, i, j: (b, 0, j))
+    common = dict(causal=causal, bq=bq, bk=bk, h=h, dh=dh)
+    if nk == 1:
+        dq_kernel = functools.partial(_dq_kernel_single, **common)
+        dq_scratch = []
+    else:
+        dq_kernel = functools.partial(_dq_kernel_stream, nk=nk, **common)
+        dq_scratch = [pltpu.VMEM((bq, hd), jnp.float32)]
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, nk=nk, **common),
-        grid=(bh, nq, nk),
-        in_specs=[
-            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i)),
-            pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i)),
-            pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i)),
-            pl.BlockSpec((1, 1, bk), lambda b, i, j: (b, 0, j)),
-        ],
-        out_specs=pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, p, d), q.dtype),
-        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        dq_kernel,
+        grid=(b, nq, nk),
+        in_specs=[qspec, kspec, kspec, qspec, rowq, rowq, segq, segk],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((b, p, hd), q.dtype),
+        scratch_shapes=dq_scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
-    )(q, k, v, do, lse3, delta3, seg3, seg3)
+    )(q, k, v, do, lse, delta, seg3, seg3)
+    # dkv: swap the roles — kv tiles on the parallel axis, q streamed
+    bq2 = p if p <= _MAX_SINGLE_BLOCK else _pick_block(p, 1024)
+    bk2 = _pick_block(p)
+    nq2, nk2 = p // bq2, p // bk2
+    qspec2 = pl.BlockSpec((1, bq2, hd), lambda b, j, i: (b, i, 0))
+    kspec2 = pl.BlockSpec((1, bk2, hd), lambda b, j, i: (b, j, 0))
+    rowq2 = pl.BlockSpec((1, h, bq2), lambda b, j, i: (b, 0, i))
+    segq2 = pl.BlockSpec((1, 1, bq2), lambda b, j, i: (b, 0, i))
+    segk2 = pl.BlockSpec((1, 1, bk2), lambda b, j, i: (b, 0, j))
+    common2 = dict(causal=causal, bq=bq2, bk=bk2, h=h, dh=dh)
+    if nq2 == 1:
+        dkv_kernel = functools.partial(_dkv_kernel_single, **common2)
+        dkv_scratch = []
+    else:
+        dkv_kernel = functools.partial(_dkv_kernel_stream, nq=nq2, **common2)
+        dkv_scratch = [
+            pltpu.VMEM((bk2, hd), jnp.float32),
+            pltpu.VMEM((bk2, hd), jnp.float32),
+        ]
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, nq=nq, **common),
-        grid=(bh, nk, nq),
-        in_specs=[
-            pl.BlockSpec((1, bq, d), lambda b, j, i: (b, i, 0)),
-            pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0)),
-            pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0)),
-            pl.BlockSpec((1, bq, d), lambda b, j, i: (b, i, 0)),
-            pl.BlockSpec((1, 1, bq), lambda b, j, i: (b, 0, i)),
-            pl.BlockSpec((1, 1, bq), lambda b, j, i: (b, 0, i)),
-            pl.BlockSpec((1, 1, bq), lambda b, j, i: (b, 0, i)),
-            pl.BlockSpec((1, 1, bk), lambda b, j, i: (b, 0, j)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0)),
-            pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0)),
-        ],
+        dkv_kernel,
+        grid=(b, nk2, nq2),
+        in_specs=[qspec2, kspec2, kspec2, qspec2, rowq2, rowq2, segq2, segk2],
+        out_specs=[kspec2, kspec2],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, p, d), k.dtype),
-            jax.ShapeDtypeStruct((bh, p, d), v.dtype),
+            jax.ShapeDtypeStruct((b, p, hd), k.dtype),
+            jax.ShapeDtypeStruct((b, p, hd), v.dtype),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((bk, d), jnp.float32),
-            pltpu.VMEM((bk, d), jnp.float32),
-        ],
+        scratch_shapes=dkv_scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
-    )(q, k, v, do, lse3, delta3, seg3, seg3)
+    )(q, k, v, do, lse, delta, seg3, seg3)
     return dq, dk, dv
 
 
+def _fwd_blocks(p: int):
+    bq = _pick_block(p)
+    bk = p if p <= _MAX_SINGLE_BLOCK else _pick_block(p, 1024)
+    return bq, bk
+
+
 # ---------------------------------------------------------------------------
-# Public entry with custom VJP
+# Public entry with custom VJP (q pre-scaled by the caller wrapper)
 # ---------------------------------------------------------------------------
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _flash_core(q, k, v, segment_ids, causal, scale):
-    bq = _pick_block(q.shape[1])
-    bk = _pick_block(q.shape[1])
-    out, _ = _flash_fwd(q, k, v, segment_ids, causal, scale, bq, bk)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash_core(qs, k, v, segment_ids, causal, h, dh):
+    bq, bk = _fwd_blocks(qs.shape[1])
+    out, _ = _flash_fwd(qs, k, v, segment_ids, causal, bq, bk, h, dh)
     return out
 
 
-def _flash_core_fwd(q, k, v, segment_ids, causal, scale):
-    bq = _pick_block(q.shape[1])
-    bk = _pick_block(q.shape[1])
-    out, lse = _flash_fwd(q, k, v, segment_ids, causal, scale, bq, bk)
-    return out, (q, k, v, segment_ids, out, lse)
+def _flash_core_fwd(qs, k, v, segment_ids, causal, h, dh):
+    bq, bk = _fwd_blocks(qs.shape[1])
+    out, lse = _flash_fwd(qs, k, v, segment_ids, causal, bq, bk, h, dh)
+    return out, (qs, k, v, segment_ids, out, lse)
 
 
-def _flash_core_bwd(causal, scale, residuals, g):
-    q, k, v, segment_ids, out, lse = residuals
-    bq = _pick_block(q.shape[1])
-    bk = _pick_block(q.shape[1])
-    dq, dk, dv = _flash_bwd(
-        q, k, v, segment_ids, out, lse, g, causal, scale, bq, bk
-    )
-    return dq, dk, dv, None
+def _flash_core_bwd(causal, h, dh, residuals, g):
+    qs, k, v, segment_ids, out, lse = residuals
+    dqs, dk, dv = _flash_bwd(qs, k, v, segment_ids, out, lse, g, causal, h, dh)
+    return dqs, dk, dv, None
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
@@ -334,10 +472,12 @@ def flash_attention(
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
     scale = softmax_scale if softmax_scale is not None else dh**-0.5
-    # fold heads into batch: [B, P, H, D] -> [B*H, P, D]
-    qf = q.transpose(0, 2, 1, 3).reshape(b * h, p, dh)
-    kf = k.transpose(0, 2, 1, 3).reshape(b * h, p, dh)
-    vf = v.transpose(0, 2, 1, 3).reshape(b * h, p, dh)
-    seg = jnp.repeat(segment_ids, h, axis=0)  # [B*H, P]
-    out = _flash_core(qf, kf, vf, seg, causal, scale)
-    return out.reshape(b, h, p, dh).transpose(0, 2, 1, 3)
+    # fold the softmax scale into q outside the kernel: a cheap multiply
+    # XLA fuses into the q projection, instead of [BQ,BK] fp32 work per
+    # tile inside three kernels. d(qs)/dq = scale is applied by autodiff.
+    qs = (q * jnp.asarray(scale, q.dtype)).reshape(b, p, h * dh)
+    out = _flash_core(
+        qs, k.reshape(b, p, h * dh), v.reshape(b, p, h * dh), segment_ids,
+        causal, h, dh,
+    )
+    return out.reshape(b, p, h, dh)

@@ -89,6 +89,36 @@ def test_flash_gqa():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_streaming_path_matches_xla(causal, monkeypatch):
+    """Force the online-softmax (multi-tile) kernels, fwd and bwd."""
+    monkeypatch.setattr(fa, "_MAX_SINGLE_BLOCK", 32)
+    monkeypatch.setattr(fa, "_pick_block", lambda p, target=32: min(p, 32))
+    b, p, h, d = 1, 128, 2, 32
+    q, k, v = _rand_qkv(b, p, h, d, seed=6)
+    seg = np.ones((b, p), np.int32)
+    seg[:, 50:90] = 2
+    seg[:, 90:] = 0
+    seg = jnp.asarray(seg)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(fa.flash_attention(q, k, v, seg, causal=causal).astype(jnp.float32) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(xla_attention(q, k, v, seg, causal=causal).astype(jnp.float32) ** 2)
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        out1 = fa.flash_attention(q, k, v, seg, causal=causal)
+        g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    out2 = xla_attention(q, k, v, seg, causal=causal)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), rtol=2e-4, atol=2e-4)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=5e-4, atol=5e-4)
+
+
 def test_flash_gradients_match_xla_causal():
     b, p, h, d = 1, 128, 2, 32
     q, k, v = _rand_qkv(b, p, h, d, seed=5)
