@@ -25,7 +25,6 @@ from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
-from jax.ad_checkpoint import checkpoint_name
 
 from ..config import ModelConfig
 from ..ops.attention import attention
@@ -217,9 +216,6 @@ def backbone_apply(
             q, k, v, segment_ids, causal=cfg.causal_attention, impl=cfg.attn_impl,
             bi_causal_split=cfg.bi_causal_split,
         )
-        # named for the save_attn remat policy: saving the kernel's output
-        # keeps the (VPU-bound) flash fwd out of the backward recompute
-        attn_out = checkpoint_name(attn_out, "attn_out")
         attn_out = attn_out.reshape(b, p, h * dh) @ lp["o"].astype(dt)
         attn_out = _dropout(attn_out, cfg.attention_dropout, r_adrop, train)
         if use_ls:
@@ -277,9 +273,14 @@ def backbone_apply(
                 policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
             )
         elif cfg.remat_policy == "save_attn":
+            # saves the flash kernel's named outputs (out, lse) per layer so
+            # the backward recompute skips the VPU-bound forward kernel (the
+            # gradient attachment consumes them as saved inputs)
+            from ..ops.flash_attention import SAVE_ATTN_NAMES
+
             fn = jax.checkpoint(
                 layer_fn,
-                policy=jax.checkpoint_policies.save_only_these_names("attn_out"),
+                policy=jax.checkpoint_policies.save_only_these_names(*SAVE_ATTN_NAMES),
             )
         else:
             fn = jax.checkpoint(layer_fn)

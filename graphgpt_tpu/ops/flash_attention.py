@@ -433,28 +433,37 @@ def _fwd_blocks(p: int):
 
 
 # ---------------------------------------------------------------------------
-# Public entry with custom VJP (q pre-scaled by the caller wrapper)
+# Public entry (q pre-scaled by the caller wrapper)
+#
+# The forward pallas_call and the gradient attachment are deliberately SPLIT:
+# the raw kernel outputs (out, lse) are checkpoint-named intermediates, and
+# an identity custom_vjp (_attach_grad) that RECEIVES them as inputs carries
+# the backward. Under jax.checkpoint with the save_attn policy
+# (save_only_these_names("attn_out", "attn_lse")) the backward recompute
+# reconstructs (qs, k, v) from the cheap projections but skips re-running
+# the VPU-bound forward kernel entirely — a plain custom_vjp would hide
+# (out, lse) as opaque residuals and force the rerun.
 # ---------------------------------------------------------------------------
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _flash_core(qs, k, v, segment_ids, causal, h, dh):
-    bq, bk = _fwd_blocks(qs.shape[1])
-    out, _ = _flash_fwd(qs, k, v, segment_ids, causal, bq, bk, h, dh)
+SAVE_ATTN_NAMES = ("attn_out", "attn_lse")
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _attach_grad(qs, k, v, segment_ids, out, lse, causal, h, dh):
     return out
 
 
-def _flash_core_fwd(qs, k, v, segment_ids, causal, h, dh):
-    bq, bk = _fwd_blocks(qs.shape[1])
-    out, lse = _flash_fwd(qs, k, v, segment_ids, causal, bq, bk, h, dh)
+def _attach_grad_fwd(qs, k, v, segment_ids, out, lse, causal, h, dh):
     return out, (qs, k, v, segment_ids, out, lse)
 
 
-def _flash_core_bwd(causal, h, dh, residuals, g):
+def _attach_grad_bwd(causal, h, dh, residuals, g):
     qs, k, v, segment_ids, out, lse = residuals
     dqs, dk, dv = _flash_bwd(qs, k, v, segment_ids, out, lse, g, causal, h, dh)
-    return dqs, dk, dv, None
+    # zero cotangents for the (stop-gradiented) out/lse inputs
+    return dqs, dk, dv, None, jnp.zeros_like(out), jnp.zeros_like(lse)
 
 
-_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+_attach_grad.defvjp(_attach_grad_fwd, _attach_grad_bwd)
 
 
 def flash_attention(
@@ -465,6 +474,8 @@ def flash_attention(
     causal: bool = False,
     softmax_scale: Optional[float] = None,
 ) -> jnp.ndarray:
+    from jax.ad_checkpoint import checkpoint_name
+
     b, p, h, dh = q.shape
     hkv = k.shape[2]
     if hkv != h:
@@ -476,8 +487,16 @@ def flash_attention(
     # XLA fuses into the q projection, instead of [BQ,BK] fp32 work per
     # tile inside three kernels. d(qs)/dq = scale is applied by autodiff.
     qs = (q * jnp.asarray(scale, q.dtype)).reshape(b, p, h * dh)
-    out = _flash_core(
-        qs, k.reshape(b, p, h * dh), v.reshape(b, p, h * dh), segment_ids,
-        causal, h, dh,
+    kf = k.reshape(b, p, h * dh)
+    vf = v.reshape(b, p, h * dh)
+    bq, bk = _fwd_blocks(p)
+    out, lse = _flash_fwd(
+        jax.lax.stop_gradient(qs),
+        jax.lax.stop_gradient(kf),
+        jax.lax.stop_gradient(vf),
+        segment_ids, causal, bq, bk, h, dh,
     )
+    out = checkpoint_name(out, "attn_out")
+    lse = checkpoint_name(lse, "attn_lse")
+    out = _attach_grad(qs, kf, vf, segment_ids, out, lse, causal, h, dh)
     return out.reshape(b, p, h, dh)

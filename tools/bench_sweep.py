@@ -15,6 +15,7 @@ import os
 import sys
 import time
 
+import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -38,6 +39,15 @@ def run(mode: str, batch_size: int, seq: int, n_steps: int = 10):
             from graphgpt_tpu.models import modeling
 
             modeling.attention = lambda q, k, v, seg, **kw: v
+        elif part == "nohead":
+            # trivial loss to isolate the lm-head + CE share
+            from graphgpt_tpu.models import heads as heads_mod
+            from graphgpt_tpu.ops import losses as losses_mod
+
+            losses_mod.chunked_stacked_ce = (
+                lambda hidden, *a, **kw: jnp.mean(hidden.astype(jnp.float32) ** 2)
+            )
+            heads_mod.losses = losses_mod
         elif part.startswith("attn="):
             object.__setattr__(cfg, "attn_impl", part[5:])
         elif part == "remat=off":
