@@ -148,6 +148,10 @@ class ModelConfig:
     rope_theta: float = 10000.0
     rope_range: int = 0
     rope_resonance: bool = False  # integer-wavelength Resonance RoPE
+    # HF-style rope_scaling passthrough (reference RopeScalingConfig,
+    # src/conf/model/model_configs.py:274, configuration_graphgpt.py:321-334):
+    # {"rope_type": "linear"|"dynamic"|"yarn"|"llama3", "factor": float, ...}
+    rope_scaling: Optional[dict] = None
     tie_word_embeddings: bool = False
     causal_attention: bool = False
     attention_bias: bool = False
@@ -238,7 +242,7 @@ class ModelConfig:
             self.num_attention_heads = self.hidden_size // self.head_dim
         if self.num_key_value_heads == 0:
             self.num_key_value_heads = self.num_attention_heads
-        if self.task_type == "pretrain-mlm":
+        if self.task_type in ("pretrain-mlm", "pretrain-mlm-coord"):
             self.causal_attention = False
         return self
 

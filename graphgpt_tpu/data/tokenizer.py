@@ -108,6 +108,12 @@ class StackedGSTTokenizer:
         self.cfg = cfg
         self.vocab_map = vocab_map
         self.task_type = task_type
+        if mlm_cfg is None and task_type in (
+            "pretrain-mlm", "pretrain-cl", "pretrain-mlm-coord",
+        ):
+            from ..config import MlmScheduleConfig
+
+            mlm_cfg = MlmScheduleConfig()
         self.mlm_cfg = mlm_cfg
         self.vocab_size = max(vocab_map.values()) + 1
         s = cfg.structure
@@ -209,6 +215,23 @@ class StackedGSTTokenizer:
             row[-self.edge_dim :] = self.edge_lookup.default_ids
         return row
 
+    def _coord_extras(self, graph: Graph, walk: np.ndarray, p: int, rng) -> dict:
+        """Node decoration for in-model SMTP / 3D position pretrain
+        (reference _attach_node_mask_to_inputs, tokenizer_utils.py:453-468):
+        node_idx = raw id + 1 (0 at eos), pos_type 0-4, rotated coords."""
+        extras: dict = {}
+        raw_idx = np.concatenate([walk, [-1]])
+        extras["node_idx"] = (raw_idx + 1).astype(np.int32)
+        from .mol3d import ROTATIONS, pos_type_from_node_index
+
+        extras["pos_type"] = pos_type_from_node_index(raw_idx).astype(np.int32)
+        if graph.pos is not None:
+            pos = ROTATIONS[self.cfg.rotation](np.asarray(graph.pos, np.float32), rng)
+            row_pos = np.zeros((p, 3), np.float32)
+            row_pos[:-1] = pos[walk]
+            extras["pos"] = row_pos
+        return extras
+
     # ------------------------------------------------------------------
     def __call__(self, graph: Graph, rng: np.random.Generator) -> TokenizedSample:
         ids, walk, ranks = self.tokenize(graph, rng)
@@ -216,7 +239,7 @@ class StackedGSTTokenizer:
         position_ids = np.arange(p, dtype=np.int32)
         attention_mask = np.ones(p, np.int8)
         task = self.task_type
-        if task in ("pretrain-mlm", "pretrain-cl"):
+        if task in ("pretrain-mlm", "pretrain-cl", "pretrain-mlm-coord"):
             alpha_t, wgt = _polynomial_mask_ratio(self.mlm_cfg, rng)
             masked, labels = smtp_mask_stacked(
                 ids,
@@ -237,6 +260,12 @@ class StackedGSTTokenizer:
                 p = p + 1
                 position_ids = np.arange(p, dtype=np.int32)
                 attention_mask = np.ones(p, np.int8)
+            extras = {}
+            if task == "pretrain-mlm-coord":
+                # host-side MLM masking + coordinate decoration (reference
+                # prepare_inputs_for_pretrain_mlm_coord,
+                # tokenizer_utils.py:428-451)
+                extras = self._coord_extras(graph, walk, p, rng)
             return TokenizedSample(
                 input_ids=masked,
                 labels=labels,
@@ -244,27 +273,12 @@ class StackedGSTTokenizer:
                 attention_mask=attention_mask,
                 wgt=float(wgt) if self.mlm_cfg.dlm_wgt else None,
                 segment_lengths=[p],
+                extras=extras,
             )
         if task in ("pretrain", "pretrain-smtp", "pretrain-coord", "pretrain-smtp-3d"):
             # NTP labels: next row; SMTP-inside masks on device.
             labels = np.concatenate([ids[1:], np.full((1, ids.shape[1]), self.eos_id, np.int32)])
-            extras = {}
-            if task != "pretrain":
-                # node decoration for in-model SMTP / 3D position pretrain
-                # (reference _attach_node_mask_to_inputs,
-                # tokenizer_utils.py:453-468): node_idx = raw id + 1 (0 at eos)
-                raw_idx = np.concatenate([walk, [-1]])
-                extras["node_idx"] = (raw_idx + 1).astype(np.int32)
-                from .mol3d import ROTATIONS, pos_type_from_node_index
-
-                extras["pos_type"] = pos_type_from_node_index(raw_idx).astype(np.int32)
-                if graph.pos is not None:
-                    pos = ROTATIONS[self.cfg.rotation](
-                        np.asarray(graph.pos, np.float32), rng
-                    )
-                    row_pos = np.zeros((p, 3), np.float32)
-                    row_pos[:-1] = pos[walk]
-                    extras["pos"] = row_pos
+            extras = {} if task == "pretrain" else self._coord_extras(graph, walk, p, rng)
             return TokenizedSample(
                 input_ids=ids,
                 labels=labels,

@@ -188,7 +188,9 @@ def backbone_apply(
     h, hkv, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     position_ids = reset_position_ids(position_ids, cfg.rope_range, cfg.max_position_embeddings)
     cos, sin = rope_cos_sin(
-        position_ids, dh, cfg.rope_theta, resonance=cfg.rope_resonance, dtype=jnp.float32
+        position_ids, dh, cfg.rope_theta, resonance=cfg.rope_resonance,
+        dtype=jnp.float32, rope_scaling=cfg.rope_scaling,
+        max_position_embeddings=cfg.max_position_embeddings,
     )
     n_layers = cfg.num_hidden_layers
     # linearly increasing stochastic-depth rate (utils_graphgpt.py:184-191)

@@ -113,15 +113,22 @@ def pos_pred_forward(
         pick = jax.random.uniform(r_sep, (b, 1, 1)) < smtp_2d_rate
         raw_pos = jnp.where(pick, 0.0, raw_pos)
 
-    # 2D SMTP: mask attr tokens of samples whose pos is all zero
     no_pos = (jnp.abs(raw_pos) < _EPS).all(axis=-1).all(axis=-1)  # [B]
-    t2 = jax.random.uniform(r_2d, (b, 1, 1))
-    mask_per_node = jax.random.uniform(r_2d, (b, p, f)) > t2
-    mask_per_node = mask_per_node & no_pos[:, None, None]
     bz_idx = jnp.arange(b)[:, None]
-    mask_tok = mask_per_node[bz_idx, node_idx] & (input_ids > 0)
-    labels_2d = jnp.where(mask_tok, input_ids, -100)
-    masked_ids = jnp.where(mask_tok, cfg.mask_token_id, input_ids)
+    if "labels" in batch and cfg.task_type == "pretrain-mlm-coord":
+        # host-side MLM masking already applied by the tokenizer
+        # (pretrain-mlm-coord, reference tokenizer_utils.py:428-451):
+        # input_ids arrive masked and labels carry the 2D targets
+        labels_2d = batch["labels"]
+        masked_ids = input_ids
+    else:
+        # 2D SMTP in-model: mask attr tokens of samples whose pos is all zero
+        t2 = jax.random.uniform(r_2d, (b, 1, 1))
+        mask_per_node = jax.random.uniform(r_2d, (b, p, f)) > t2
+        mask_per_node = mask_per_node & no_pos[:, None, None]
+        mask_tok = mask_per_node[bz_idx, node_idx] & (input_ids > 0)
+        labels_2d = jnp.where(mask_tok, input_ids, -100)
+        masked_ids = jnp.where(mask_tok, cfg.mask_token_id, input_ids)
 
     # pad/sample masks for 3D (modeling_helpers._add_pos_noise_and_get_masks)
     sample_mask = no_pos[:, None]  # [B, 1]

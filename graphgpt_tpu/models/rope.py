@@ -3,13 +3,106 @@
 Matches the reference backbone's RoPE semantics (theta 1e4, head-dim pairs,
 transformers LlamaRotaryEmbedding) so that converted reference checkpoints
 reproduce activations. Also implements the reference's `rope_range`
-position rescaling (src/models/graphgpt/utils_graphgpt.py:574-581) and
-Resonance RoPE integer-wavelength rounding (utils_graphgpt.py:381-462).
+position rescaling (src/models/graphgpt/utils_graphgpt.py:574-581),
+Resonance RoPE integer-wavelength rounding (utils_graphgpt.py:381-462),
+and the HF `rope_scaling` passthrough (linear / dynamic-NTK / yarn /
+llama3) the reference forwards into transformers
+(configuration_graphgpt.py:321-334) — formulas match
+transformers.modeling_rope_utils (tested for parity in
+tests/test_model.py).
 """
 
 from __future__ import annotations
 
+import math
+from typing import Optional, Tuple
+
+import numpy as np
 import jax.numpy as jnp
+
+
+def scaled_inv_freq(
+    head_dim: int,
+    theta: float,
+    rope_scaling: Optional[dict],
+    max_position_embeddings: int,
+) -> Tuple[np.ndarray, float]:
+    """(inv_freq [Dh/2], attention_factor) per HF modeling_rope_utils.
+
+    Computed in NumPy at trace time (all inputs are static)."""
+    exponent = np.arange(0, head_dim, 2, dtype=np.float64) / head_dim
+    inv_freq = 1.0 / (theta**exponent)
+    if not rope_scaling:
+        return inv_freq, 1.0
+    rope_type = rope_scaling.get("rope_type", rope_scaling.get("type", "default"))
+    factor = float(rope_scaling.get("factor", 1.0))
+    if rope_type == "default":
+        return inv_freq, 1.0
+    if rope_type == "linear":
+        return inv_freq / factor, 1.0
+    if rope_type == "dynamic":
+        # NTK-aware base rescaling (HF _compute_dynamic_ntk_parameters):
+        # seq_len defaults to max_position_embeddings, where the multiplier
+        # collapses to 1; pass "seq_len" in rope_scaling to stretch.
+        seq_len = max(
+            int(rope_scaling.get("seq_len") or 0), max_position_embeddings
+        )
+        base = theta * (
+            (factor * seq_len / max_position_embeddings) - (factor - 1)
+        ) ** (head_dim / (head_dim - 2))
+        return 1.0 / (base**exponent), 1.0
+    if rope_type == "yarn":
+        orig = int(
+            rope_scaling.get(
+                "original_max_position_embeddings", max_position_embeddings
+            )
+        )
+        beta_fast = float(rope_scaling.get("beta_fast") or 32.0)
+        beta_slow = float(rope_scaling.get("beta_slow") or 1.0)
+        attention_factor = rope_scaling.get("attention_factor")
+        if attention_factor is None:
+            mscale = rope_scaling.get("mscale")
+            attention_factor = (
+                0.1 * math.log(factor) + 1.0
+                if mscale is None
+                else float(mscale)
+            )
+
+        def find_correction_dim(num_rotations):
+            return (
+                head_dim
+                * math.log(orig / (num_rotations * 2 * math.pi))
+            ) / (2 * math.log(theta))
+
+        low = max(math.floor(find_correction_dim(beta_fast)), 0)
+        high = min(math.ceil(find_correction_dim(beta_slow)), head_dim - 1)
+        # linear ramp 0->1 across [low, high] over the Dh/2 frequencies
+        denom = max(high - low, 1e-3)
+        ramp = np.clip((np.arange(head_dim // 2, dtype=np.float64) - low) / denom, 0, 1)
+        inv_freq_extrapolation_factor = 1.0 - ramp
+        inv_freq_interpolation = inv_freq / factor
+        out = (
+            inv_freq_interpolation * (1 - inv_freq_extrapolation_factor)
+            + inv_freq * inv_freq_extrapolation_factor
+        )
+        return out, float(attention_factor)
+    if rope_type == "llama3":
+        orig = int(
+            rope_scaling.get(
+                "original_max_position_embeddings", max_position_embeddings
+            )
+        )
+        low_ff = float(rope_scaling.get("low_freq_factor", 1.0))
+        high_ff = float(rope_scaling.get("high_freq_factor", 4.0))
+        low_freq_wavelen = orig / low_ff
+        high_freq_wavelen = orig / high_ff
+        wavelen = 2 * math.pi / inv_freq
+        out = np.where(wavelen > low_freq_wavelen, inv_freq / factor, inv_freq)
+        smooth = (orig / wavelen - low_ff) / (high_ff - low_ff)
+        smoothed = (1 - smooth) * out / factor + smooth * out
+        is_medium = (wavelen >= high_freq_wavelen) & (wavelen <= low_freq_wavelen)
+        return np.where(is_medium, smoothed, out), 1.0
+    raise ValueError(f"unsupported rope_scaling type {rope_type!r}")
 
 
 def rope_cos_sin(
@@ -18,10 +111,14 @@ def rope_cos_sin(
     theta: float = 10000.0,
     resonance: bool = False,
     dtype=jnp.float32,
+    rope_scaling: Optional[dict] = None,
+    max_position_embeddings: int = 1024,
 ):
     """Returns (cos, sin) of shape [B, P, head_dim]."""
-    exponent = jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim
-    inv_freq = 1.0 / (theta**exponent)  # [Dh/2]
+    inv_freq_np, attention_factor = scaled_inv_freq(
+        head_dim, theta, rope_scaling, max_position_embeddings
+    )
+    inv_freq = jnp.asarray(inv_freq_np, jnp.float32)
     if resonance:
         # Resonance RoPE: round each wavelength to the nearest integer so
         # every frequency completes whole cycles within integer positions
@@ -30,7 +127,9 @@ def rope_cos_sin(
         inv_freq = 2.0 * jnp.pi / jnp.round(wavelength)
     freqs = position_ids.astype(jnp.float32)[..., None] * inv_freq[None, None, :]
     emb = jnp.concatenate([freqs, freqs], axis=-1)  # [B, P, Dh]
-    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+    cos = jnp.cos(emb) * attention_factor
+    sin = jnp.sin(emb) * attention_factor
+    return cos.astype(dtype), sin.astype(dtype)
 
 
 def rotate_half(x: jnp.ndarray) -> jnp.ndarray:

@@ -266,3 +266,60 @@ def test_droppath_layerscale_paths():
     batch = make_batch(cfg)
     out = run_pretrain(params, cfg, batch, rng=jax.random.PRNGKey(3), train=True)
     assert np.isfinite(float(out["loss"]))
+
+
+@pytest.mark.parametrize(
+    "scaling",
+    [
+        None,
+        {"rope_type": "linear", "factor": 4.0},
+        {"rope_type": "dynamic", "factor": 4.0},
+        {"rope_type": "yarn", "factor": 4.0, "original_max_position_embeddings": 1024},
+        {
+            "rope_type": "yarn",
+            "factor": 8.0,
+            "original_max_position_embeddings": 1024,
+            "beta_fast": 48.0,
+            "beta_slow": 2.0,
+            "attention_factor": 1.3,
+        },
+        {
+            "rope_type": "llama3",
+            "factor": 8.0,
+            "original_max_position_embeddings": 1024,
+            "low_freq_factor": 1.0,
+            "high_freq_factor": 4.0,
+        },
+    ],
+)
+def test_rope_scaling_matches_hf(scaling):
+    """rope_scaling passthrough parity vs transformers' own init functions
+    (the reference forwards these configs verbatim into HF Llama,
+    configuration_graphgpt.py:321-334)."""
+    from graphgpt_tpu.models.rope import scaled_inv_freq
+
+    transformers = pytest.importorskip("transformers")
+    from transformers.modeling_rope_utils import ROPE_INIT_FUNCTIONS
+
+    cfg_hf = transformers.LlamaConfig(
+        hidden_size=768,
+        num_attention_heads=12,
+        max_position_embeddings=4096,
+        rope_theta=10000.0,
+        rope_scaling=dict(scaling) if scaling else None,
+    )
+    rope_type = (scaling or {}).get("rope_type", "default")
+    hf_inv, hf_att = ROPE_INIT_FUNCTIONS[rope_type](cfg_hf, device="cpu")
+    ours, att = scaled_inv_freq(64, 10000.0, scaling, 4096)
+    np.testing.assert_allclose(np.asarray(hf_inv), ours, rtol=1e-6)
+    assert abs(float(hf_att) - att) < 1e-6
+
+
+def test_rope_scaling_model_forward():
+    cfg = small_cfg(
+        rope_scaling={"rope_type": "yarn", "factor": 4.0, "original_max_position_embeddings": 64}
+    )
+    params = heads.init_pretrain_params(cfg, jax.random.PRNGKey(0))
+    batch = make_batch(cfg)
+    out = run_pretrain(params, cfg, batch)
+    assert np.isfinite(float(out["loss"]))

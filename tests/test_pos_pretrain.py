@@ -145,3 +145,66 @@ def test_pos_pred_tokenizer_integration():
         lambda p, b: pos_pretrain.pos_pred_forward(p, cfg, b, rng=jax.random.PRNGKey(0))
     )(params, jb)
     assert np.isfinite(float(out["loss"]))
+
+
+def test_pretrain_mlm_coord_host_masking():
+    """pretrain-mlm-coord: host-side MLM masking + coordinate decoration
+    (reference prepare_inputs_for_pretrain_mlm_coord,
+    src/utils/tokenizer_utils.py:428-451) feeds the pos model with its 2D
+    labels precomputed."""
+    from graphgpt_tpu.config import Config
+    from graphgpt_tpu.data.collator import collate
+    from graphgpt_tpu.data.datasets import (
+        MOL_EDGE_CARD,
+        MOL_NODE_CARD,
+        SyntheticMolDataset,
+    )
+    from graphgpt_tpu.data import vocab as V
+    from graphgpt_tpu.data.tokenizer import StackedGSTTokenizer
+
+    c = Config()
+    c.tokenization.semantics.node.discrete = "node_attr"
+    c.tokenization.semantics.node.dim = 9
+    c.tokenization.semantics.edge.discrete = "edge_attr"
+    c.tokenization.semantics.edge.dim = 3
+    vm = V.vocab_map_from_list(
+        V.build_vocab(
+            c.tokenization,
+            [np.arange(x) for x in MOL_NODE_CARD],
+            [np.arange(x) for x in MOL_EDGE_CARD],
+        )
+    )
+    tok = StackedGSTTokenizer(c.tokenization, vm, task_type="pretrain-mlm-coord")
+    ds = SyntheticMolDataset(4, seed=0, with_pos=True)
+    rng = np.random.default_rng(0)
+    samples = [tok(ds[i], rng) for i in range(4)]
+    s = samples[0]
+    # decoration present alongside host-masked labels
+    assert {"pos", "node_idx", "pos_type"} <= set(s.extras)
+    assert (s.labels != -100).any(), "host MLM masking must produce labels"
+    masked_cells = s.labels != -100
+    assert (s.input_ids[masked_cells] == vm["<mask>"]).mean() > 0.5
+
+    batch = collate(samples, mpe=128)
+    cfg = ModelConfig(
+        vocab_size=tok.vocab_size,
+        hidden_size=32,
+        num_hidden_layers=2,
+        head_dim=8,
+        num_attention_heads=4,
+        intermediate_size=64,
+        stacked_feat=13,
+        next_n_token=13,
+        mask_token_id=vm["<mask>"],
+        dtype="float32",
+        pos_num_bins=16,
+        task_type="pretrain-mlm-coord",
+    ).finalize()
+    params = pos_pretrain.init_pos_pred_params(cfg, jax.random.PRNGKey(0))
+    jb = {k: jnp.asarray(v) for k, v in batch.data.items()}
+    assert "labels" in jb
+    out = jax.jit(
+        lambda p, b: pos_pretrain.pos_pred_forward(p, cfg, b, rng=jax.random.PRNGKey(0))
+    )(params, jb)
+    assert np.isfinite(float(out["loss"]))
+    assert np.isfinite(float(out["pretrain_loss"]))
