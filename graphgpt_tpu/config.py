@@ -118,6 +118,10 @@ class TokenizationConfig:
     semantics: SemanticsConfig = field(default_factory=SemanticsConfig)
     structure: StructureConfig = field(default_factory=StructureConfig)
     rotation: str = "anchor_rotate"  # 3D positions: anchor_rotate|trans_rotate
+    # split-policy knobs applied by graph-level readers (reference
+    # _readers/pcqm4mv2.py:344-428): true_valid, test_large,
+    # remove_special {edge0,node1,node2,disconnected}, duplicate_train
+    dataset_policy: Dict[str, Any] = field(default_factory=dict)
 
     @property
     def stacked_feat(self) -> int:

@@ -96,6 +96,96 @@ class SplitDataset(GraphsMapDataset):
         return idx[:a], idx[a:b], idx[b:]
 
 
+# ---------------------------------------------------------------------------
+# Split policies (reference _readers/pcqm4mv2.py:344-428)
+# ---------------------------------------------------------------------------
+def _special_molecule_idx(
+    store: NpzGraphStore,
+    *,
+    edge0: bool = False,
+    node1: bool = False,
+    node2: bool = False,
+    disconnected: bool = False,
+) -> np.ndarray:
+    """Indices of degenerate molecules (reference obtain_special_molecules,
+    pcqm4mv2.py:405-428): zero edges / 1 node / 2 nodes / disconnected."""
+    node_cnt = np.diff(store._node_ptr)
+    edge_cnt = np.diff(store._edge_ptr)
+    bad = np.zeros(len(node_cnt), bool)
+    if edge0:
+        bad |= edge_cnt == 0
+    if node1:
+        bad |= node_cnt == 1
+    if node2:
+        bad |= node_cnt == 2
+    if disconnected:
+        for g in np.flatnonzero(~bad):
+            n = int(node_cnt[g])
+            if n <= 1:
+                continue
+            s, e = store._edge_ptr[g], store._edge_ptr[g + 1]
+            ei = store.edge_index[:, s:e] - store._node_ptr[g]
+            parent = np.arange(n)
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in ei.T:
+                ra, rb = find(int(a)), find(int(b))
+                if ra != rb:
+                    parent[ra] = rb
+            if len({find(i) for i in range(n)}) > 1:
+                bad[g] = True
+    return np.flatnonzero(bad)
+
+
+def apply_split_policies(store: NpzGraphStore, splits, policy: dict):
+    """Apply the reference's PCQM4M-v2 split manipulations to
+    (train, valid, test) index arrays:
+
+      - remove_special: drop degenerate molecules from every split
+        (remove_special_molecules, pcqm4mv2.py:391-403)
+      - true_valid: mix valid into train keeping `num_remained` (5000) as
+        the new valid; seen valid samples double as test
+        (add_valid_to_train, pcqm4mv2.py:344-368)
+      - test_large: molecules with > 18 nodes from valid become test
+        (get_large_mols_as_test_from_valid, pcqm4mv2.py:371-379)
+      - duplicate_train: repeat train indices `rate` times
+        (duplicate_sample_idx, pcqm4mv2.py:382-388)
+    """
+    train, valid, test = (np.asarray(s, np.int64) for s in splits)
+    if not policy:
+        return train, valid, test
+    if policy.get("remove_special"):
+        spec = policy["remove_special"]
+        spec = spec if isinstance(spec, dict) else {"edge0": True, "node1": True}
+        removed = set(_special_molecule_idx(store, **spec).tolist())
+        keep = lambda idx: np.asarray(
+            sorted(set(idx.tolist()) - removed), np.int64
+        )
+        train, valid, test = keep(train), keep(valid), keep(test)
+    if policy.get("true_valid"):
+        num_remained = int(policy.get("num_remained", 5000))
+        rng = np.random.default_rng(42)
+        perm = rng.permutation(len(valid))
+        into_train = perm[:-num_remained]
+        new_valid = valid[perm[-num_remained:]]
+        cnt_test = min(num_remained, len(valid) - num_remained)
+        test = valid[perm[:cnt_test]]
+        train = np.concatenate([train, valid[into_train]])
+        valid = new_valid
+    if policy.get("test_large"):
+        threshold = int(policy.get("large_threshold", 18))
+        node_cnt = np.diff(store._node_ptr)
+        test = valid[node_cnt[valid] > threshold]
+    if policy.get("duplicate_train"):
+        train = np.tile(train, int(policy["duplicate_train"]))
+    return train, valid, test
+
+
 def _graph_level_reader(name: str):
     @_readers(name)
     def _read(cfg, **kw):
@@ -105,7 +195,13 @@ def _graph_level_reader(name: str):
                 f"{name}: expected {path} (see graphgpt_tpu.readers npz contract)"
             )
         store = NpzGraphStore(path)
-        return SplitDataset(store, permute=True, seed=cfg.training.seed)
+        ds = SplitDataset(store, permute=True, seed=cfg.training.seed)
+        policy = dict(getattr(cfg.tokenization, "dataset_policy", {}) or {})
+        if policy:
+            base = ds.splits()
+            tr, va, te = apply_split_policies(store, base, policy)
+            ds._splits = {"train": tr, "valid": va, "test": te}
+        return ds
 
     return _read
 
@@ -118,6 +214,13 @@ for _name in (
     "CEPDB",
     "reddit_threads",
     "triangles",
+    # custom graph-level corpora (reference SpiceCircuitDataset,
+    # OneIDSmallDataset, PygCustomMolDataset — dataset_utils.py:723,1303,1640);
+    # their rdkit/netlist preprocessing happens offline into the npz contract
+    # (tools/convert_ogb.py, tools/spice2graph.py)
+    "spice-circuit",
+    "oneid",
+    "custom_mol",
 ):
     _graph_level_reader(_name)
 

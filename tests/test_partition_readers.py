@@ -111,3 +111,131 @@ def test_npz_roundtrip(tmp_path, big):
     ds_val = readers.read_dataset("ogbl-ppa", cfg, data_split="valid")
     ys = ds_val.edges_with_y[:, 2]
     assert (ys == 1).sum() == 20 and (ys == 0).sum() == 20
+
+
+def _graphs_npz(path, n_graphs=40, seed=0):
+    """Small graph-level store with a few degenerate molecules."""
+    rng = np.random.default_rng(seed)
+    node_attr, edge_cols, node_ptr, edge_ptr, ys = [], [], [0], [0], []
+    for g in range(n_graphs):
+        if g == 1:
+            n, ei = 1, np.zeros((2, 0), np.int64)  # single-node molecule
+        elif g == 2:
+            n, ei = 4, np.zeros((2, 0), np.int64)  # edge-free molecule
+        elif g == 3:
+            # disconnected: two 2-cliques
+            n = 4
+            ei = np.asarray([[0, 1, 2, 3], [1, 0, 3, 2]], np.int64)
+        else:
+            n = int(rng.integers(4, 25))
+            src = np.arange(n - 1)
+            ei = np.stack([np.concatenate([src, src + 1]),
+                           np.concatenate([src + 1, src])])
+        node_attr.append(rng.integers(0, 5, size=(n, 2)).astype(np.int32))
+        edge_cols.append(ei + node_ptr[-1])
+        node_ptr.append(node_ptr[-1] + n)
+        edge_ptr.append(edge_ptr[-1] + ei.shape[1])
+        ys.append(float(g))
+    np.savez(
+        path,
+        node_attr=np.concatenate(node_attr),
+        edge_index=np.concatenate(edge_cols, axis=1).astype(np.int32),
+        node_ptr=np.asarray(node_ptr, np.int64),
+        edge_ptr=np.asarray(edge_ptr, np.int64),
+        y=np.asarray(ys, np.float32)[:, None],
+        train_idx=np.arange(0, 24, dtype=np.int64),
+        valid_idx=np.arange(24, 36, dtype=np.int64),
+        test_idx=np.arange(36, 40, dtype=np.int64),
+    )
+
+
+def test_split_policies(tmp_path):
+    """PCQM4M-v2 split manipulations (reference pcqm4mv2.py:344-428)."""
+    from graphgpt_tpu import readers
+
+    d = tmp_path / "pcqm4m-v2"
+    d.mkdir()
+    _graphs_npz(d / "graphs.npz")
+    store = readers.NpzGraphStore(str(d / "graphs.npz"))
+    base = (np.arange(0, 24), np.arange(24, 36), np.arange(36, 40))
+
+    # remove_special drops the single-node / edge-free / disconnected graphs
+    tr, va, te = readers.apply_split_policies(
+        store, base,
+        {"remove_special": {"edge0": True, "node1": True, "disconnected": True}},
+    )
+    assert 1 not in tr and 2 not in tr and 3 not in tr
+    assert len(tr) == 21 and len(va) == 12
+
+    # true_valid: valid mixed into train, num_remained kept as new valid
+    tr, va, te = readers.apply_split_policies(
+        store, base, {"true_valid": True, "num_remained": 4}
+    )
+    assert len(va) == 4
+    assert len(tr) == 24 + 12 - 4
+    assert len(te) == 4  # seen-valid test probe
+    assert set(va).isdisjoint(set(tr) - set(base[0]))
+
+    # test_large: large-molecule valid subset becomes test
+    tr, va, te = readers.apply_split_policies(
+        store, base, {"test_large": True, "large_threshold": 18}
+    )
+    node_cnt = np.diff(store._node_ptr)
+    assert all(node_cnt[i] > 18 for i in te)
+
+    # duplicate_train
+    tr, va, te = readers.apply_split_policies(store, base, {"duplicate_train": 3})
+    assert len(tr) == 72
+
+    # end-to-end through the registry with cfg.tokenization.dataset_policy
+    cfg = Config()
+    cfg.tokenization.data_dir = str(tmp_path)
+    cfg.tokenization.dataset_policy = {"true_valid": True, "num_remained": 4}
+    ds = readers.read_dataset("pcqm4m-v2", cfg)
+    tr, va, te = ds.splits()
+    assert len(va) == 4
+
+
+def test_spice2graph(tmp_path):
+    """Netlist -> circuit graph conversion (reference
+    spice2graph_full_utils.py + SpiceCircuitDataset)."""
+    import sys
+    sys.path.insert(0, "tools")
+    import spice2graph as s2g
+
+    root = tmp_path / "raw"
+    (root / "1").mkdir(parents=True)
+    (root / "1" / "1.cir").write_text(
+        "M1 (net1 IN net2 VSS) nmos4\nR1 (net1 VDD) resistor\n"
+    )
+    (root / "1" / "Port1.txt").write_text("IN VDD VSS\n")
+    (root / "graph-labels.csv").write_text("1\n")
+
+    nodes, ei = s2g.netlist_to_graph(
+        s2g.read_netlist(str(root / "1" / "1.cir")),
+        s2g.read_ports(str(root / "1" / "Port1.txt")),
+    )
+    # 3 ports + nmos body+4 pins + resistor body+2 pins
+    assert len(nodes) == 3 + 5 + 3
+    idx = {n: i for i, n in enumerate(nodes)}
+    pairs = set(map(tuple, ei.T.tolist()))
+    assert (idx["NM1"], idx["NM1_D"]) in pairs  # body-pin
+    assert (idx["NM1_G"], idx["IN"]) in pairs  # pin-port direct
+    assert (idx["NM1_D"], idx["R1_P"]) in pairs  # shared internal net1
+    assert (ei[0] != ei[1]).all()
+
+    # symbol normalisation (v2 vocabulary)
+    assert s2g.normalize_symbol("NM1") == "NM"
+    assert s2g.normalize_symbol("NM1_D") == "_D"
+    assert s2g.normalize_symbol("TRANSMISSION_GATE2_VDD") == "_VDD"
+    assert s2g.normalize_symbol("VDD") == "VDD"
+
+    # full conversion emits the npz contract consumable by the reader
+    out = s2g.convert(str(root), str(tmp_path / "conv"))
+    from graphgpt_tpu import readers
+
+    cfg = Config()
+    cfg.tokenization.data_dir = str(tmp_path / "conv")
+    ds = readers.read_dataset("spice-circuit", cfg)
+    g = ds[0]
+    assert g.num_nodes == 11 and g.node_attr.shape == (11, 1)
