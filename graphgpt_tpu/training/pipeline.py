@@ -213,6 +213,24 @@ class PretrainPipeline:
         step_limit = min(self.total_steps, max_steps or self.total_steps)
         rng = jax.random.PRNGKey(cfg.seed)
         thr = Throughput()
+        # analytic FLOPs/token for TFLOPs-per-s + MFU log columns (stands in
+        # for the reference's DeepSpeed FlopsProfiler)
+        from ..utils.logging import peak_flops_per_chip, train_flops_per_token
+
+        mc = self.cfg.model
+        n_params = sum(
+            int(np.prod(np.shape(x)))
+            for x in jax.tree_util.tree_leaves(self.state.params)
+        )
+        fpt = train_flops_per_token(
+            n_params,
+            mc.max_position_embeddings,
+            mc.num_hidden_layers,
+            mc.num_attention_heads,
+            mc.head_dim,
+            causal=mc.causal_attention,
+        )
+        peak = peak_flops_per_chip() * max(jax.device_count(), 1)
         global_step = self.start_step
         epoch = self.start_epoch
         with self.mesh:
@@ -226,6 +244,9 @@ class PretrainPipeline:
                     if global_step % cfg.schedule.logging_steps == 0:
                         m = {k: float(v) for k, v in metrics.items()}
                         m.update(thr.rates())
+                        m["tflops_per_s"] = m["tokens_per_s"] * fpt / 1e12
+                        if peak > 0:
+                            m["mfu"] = m["tflops_per_s"] * 1e12 / peak
                         m.update(step=global_step, epoch=epoch)
                         thr.reset()
                         log_line(

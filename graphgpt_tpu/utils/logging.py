@@ -57,3 +57,41 @@ class Throughput:
 
 def log_line(msg: str):
     print(f"[{time.strftime('%Y-%m-%d %H:%M:%S')}] {msg}", flush=True)
+
+
+# ---------------------------------------------------------------------------
+# Analytic FLOPs accounting (replaces the reference's DeepSpeed FlopsProfiler
+# log.csv columns, src/utils/log_eval_dump_utils.py:525-531, with a
+# closed-form transformer estimate: 6*N per token fwd+bwd plus attention
+# 12*L*P*H*Dh, halved under causal masking)
+# ---------------------------------------------------------------------------
+def train_flops_per_token(
+    n_params: int,
+    seq_len: int,
+    num_layers: int,
+    num_heads: int,
+    head_dim: int,
+    causal: bool = False,
+) -> float:
+    attn = 12.0 * num_layers * seq_len * num_heads * head_dim
+    if causal:
+        attn *= 0.5
+    return 6.0 * float(n_params) + attn
+
+
+def peak_flops_per_chip() -> float:
+    """bf16 peak for the attached chip generation (0 off-TPU)."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return 0.0
+    kind = jax.devices()[0].device_kind.lower()
+    if "v5 lite" in kind or "v5e" in kind:
+        return 197e12
+    if "v5p" in kind or "v5 pod" in kind:
+        return 459e12
+    if "v4" in kind:
+        return 275e12
+    if "v6" in kind:
+        return 918e12
+    return 197e12
