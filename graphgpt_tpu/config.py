@@ -289,7 +289,11 @@ class OptimizerConfig:
     eps: float = 1e-6
     max_grad_norm: float = 1.0
     gradient_accumulation_steps: int = 1
-    scheduler: str = "warmup_decay"  # warmup_decay|onecycle|cosine|constant
+    # warmup_decay|onecycle|cosine|constant|cyclic|cosine_wr|lr_range_test
+    scheduler: str = "warmup_decay"
+    # cyclic / cosine-warm-restarts knobs (reference loss_utils.py:170-367)
+    cycle_steps: int = 0  # 0 => total_steps // 4
+    cycle_mult: float = 1.0  # T_mult for cosine_wr
     use_ema: bool = False
     ema_decay: float = 0.9999
 

@@ -5,7 +5,9 @@ eps 1e-6, weight decay, global-norm grad clipping 1.0
 (configs/training/base.yaml optimizer block; DDP path opt_utils.py:7-37),
 and the scheduler registry (src/utils/loss_utils.py:170-367):
 WarmupDecayLR ("warmup_decay"), OneCycleLR ("onecycle"),
-CosineAnnealing ("cosine"), WarmupLR ("constant" after warmup).
+CosineAnnealing ("cosine"), WarmupLR ("constant" after warmup),
+CyclicLR triangular ("cyclic"), CosineAnnealingWarmRestarts
+("cosine_wr"), DeepSpeed LRRangeTest ("lr_range_test").
 bf16 on TPU needs no loss scaler (the reference's fp16 GradScaler /
 DeepSpeed loss scaling has no equivalent here by design).
 """
@@ -57,6 +59,46 @@ def make_schedule(
             [optax.linear_schedule(0.0, peak, warmup_steps), optax.constant_schedule(peak)],
             [warmup_steps],
         )
+    if name == "cyclic":
+        # torch CyclicLR, triangular mode: min_lr <-> peak, symmetric
+        # up/down legs of cycle_steps each (loss_utils.set_py_scheduler)
+        half = max(cfg.cycle_steps or total_steps // 4, 1)
+        base = cfg.min_lr
+
+        def _cyclic(step):
+            import jax.numpy as jnp
+
+            pos = jnp.mod(step, 2 * half)
+            frac = jnp.where(pos < half, pos / half, 2.0 - pos / half)
+            return base + (peak - base) * frac
+
+        return _cyclic
+    if name == "cosine_wr":
+        # torch CosineAnnealingWarmRestarts (T_0 = cycle_steps, T_mult)
+        t0 = max(cfg.cycle_steps or total_steps // 4, 1)
+        mult = max(cfg.cycle_mult, 1.0)
+        cycles, boundaries, t = [], [], t0
+        covered = 0
+        while covered < total_steps:
+            cycles.append(
+                optax.cosine_decay_schedule(peak, int(t), alpha=cfg.min_lr / peak if peak else 0.0)
+            )
+            covered += int(t)
+            boundaries.append(covered)
+            t = t * mult
+        return optax.join_schedules(
+            [
+                optax.join_schedules(
+                    [optax.linear_schedule(0.0, peak, warmup_steps), cycles[0]],
+                    [warmup_steps],
+                ),
+                *cycles[1:],
+            ],
+            boundaries[:-1],
+        )
+    if name == "lr_range_test":
+        # DeepSpeed LRRangeTest: linear ramp from min_lr up across the run
+        return optax.linear_schedule(max(cfg.min_lr, 1e-8), peak, total_steps)
     raise ValueError(f"unknown scheduler {name!r}")
 
 

@@ -184,3 +184,33 @@ def test_weighted_samplers():
     assert frac > 0.5
     s = shift_distribution_indices(store, idx[:80], idx[80:], 200, rng)
     assert len(s) == 200
+
+
+def test_extra_schedulers():
+    """Scheduler registry parity: cyclic / cosine_wr / lr_range_test
+    (reference src/utils/loss_utils.py:170-367)."""
+    from graphgpt_tpu.config import OptimizerConfig
+    from graphgpt_tpu.training.optimizer import make_schedule
+
+    cyc = make_schedule(
+        OptimizerConfig(lr=1.0, min_lr=0.1, scheduler="cyclic", cycle_steps=10), 100, 5
+    )
+    assert abs(float(cyc(0)) - 0.1) < 1e-6
+    assert abs(float(cyc(10)) - 1.0) < 1e-6  # top of the triangle
+    assert abs(float(cyc(20)) - 0.1) < 1e-6  # back at base
+
+    wr = make_schedule(
+        OptimizerConfig(lr=1.0, scheduler="cosine_wr", cycle_steps=20, cycle_mult=2.0),
+        100,
+        5,
+    )
+    assert abs(float(wr(5)) - 1.0) < 1e-6  # peak after warmup
+    assert float(wr(19)) < float(wr(10)) < float(wr(6))  # decaying in cycle 1
+    assert abs(float(wr(20)) - 1.0) < 1e-6  # restart
+    assert abs(float(wr(60)) - 1.0) < 1e-6  # second restart (20 + 40)
+    assert float(wr(59)) < 0.1  # end of the T_mult-stretched cycle
+
+    rt = make_schedule(OptimizerConfig(lr=1.0, min_lr=0.0, scheduler="lr_range_test"), 100, 5)
+    assert float(rt(0)) < 1e-6
+    assert abs(float(rt(50)) - 0.5) < 1e-2
+    assert abs(float(rt(100)) - 1.0) < 1e-6
