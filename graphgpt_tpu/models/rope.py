@@ -148,9 +148,56 @@ def apply_rope(q, k, cos, sin):
 
 def reset_position_ids(position_ids: jnp.ndarray, rope_range: int, mpe: int):
     """Rescale positions into [0, rope_range) (reference reset_pos_ids,
-    utils_graphgpt.py:574-581): pos * rope_range / mpe."""
+    utils_graphgpt.py:583-590): pos * rope_range / (per-row max pos + 1).
+
+    Returns float positions — the fractional part matters for RoPE phase;
+    `rope_cos_sin` consumes them in float32. `mpe` is unused (kept for
+    call-site compatibility); the reference normalises by each row's own
+    maximum position, which keeps packed/short rows spanning the full range.
+    """
+    del mpe
     if rope_range <= 0:
         return position_ids
-    return (position_ids.astype(jnp.float32) * (rope_range / mpe)).astype(
-        position_ids.dtype
-    )
+    pos = position_ids.astype(jnp.float32)
+    row_max = jnp.max(pos, axis=-1, keepdims=True) + 1.0
+    return pos * (float(rope_range) / row_max)
+
+
+def rope_3d_cos_sin(
+    position_ids_3d: jnp.ndarray,  # [B, P, 3] (discretized x/y/z coordinates)
+    head_dim: int,
+    theta: float = 10000.0,
+    dtype=jnp.float32,
+):
+    """3D rotary embedding (reference RotaryEmbedding3D,
+    utils_graphgpt.py:465-550): signed frequency range with exponents from
+    -Dh/2 to Dh/2 (so frequencies span base^{+1/2}..base^{-1/2} rather than
+    1..base^{-1}), and the Dh/2 frequency slots interleave the three
+    coordinate axes (x,y,z,x,y,z,...) by tiling each position triple
+    ceil(Dh/6) times. Returns (cos, sin) of shape [B, P, head_dim]."""
+    start = -(head_dim // 2)
+    exponent = np.arange(start, start + head_dim, 2, dtype=np.float64) / head_dim
+    freq = 1.0 / (theta**exponent)  # [Dh/2]
+    expand_rate = int(np.ceil((head_dim // 2) / 3.0))
+    b, p, _ = position_ids_3d.shape
+    # [B, P, 3] -> [B, P, expand_rate, 3] -> [B, P, expand_rate*3] -> [:, :, :Dh/2]
+    pos = jnp.broadcast_to(
+        position_ids_3d.astype(jnp.float32)[:, :, None, :], (b, p, expand_rate, 3)
+    ).reshape(b, p, expand_rate * 3)[:, :, : head_dim // 2]
+    freqs = pos * jnp.asarray(freq, jnp.float32)[None, None, :]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+
+
+def step_pos_emb(dim: int, mpe: int) -> np.ndarray:
+    """Additive sinusoidal step-position table (reference get_step_pos_emb,
+    utils_graphgpt.py:553-571): integer periods 1..dim/2, angular frequency
+    2π/period, columns interleaved as (cos_0, sin_0, cos_1, sin_1, ...).
+    Returns [mpe, dim] float32 (a static table — computed in NumPy)."""
+    periods = np.arange(1, dim // 2 + 1, dtype=np.float64)
+    freqs = 2.0 * np.pi / periods  # [dim/2]
+    ang = np.arange(mpe, dtype=np.float64)[:, None] * freqs[None, :]  # [mpe, dim/2]
+    out = np.empty((mpe, dim), dtype=np.float32)
+    out[:, 0::2] = np.cos(ang)
+    out[:, 1::2] = np.sin(ang)
+    return out

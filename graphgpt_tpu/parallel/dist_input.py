@@ -140,7 +140,7 @@ class EdgePartitionedCorpus:
         """
         import jax
         import jax.numpy as jnp
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         if self.big.node_attr is None:

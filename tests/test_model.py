@@ -323,3 +323,61 @@ def test_rope_scaling_model_forward():
     batch = make_batch(cfg)
     out = run_pretrain(params, cfg, batch)
     assert np.isfinite(float(out["loss"]))
+
+
+def test_reset_position_ids_row_max_normalisation():
+    """rope_range rescaling divides by each row's own max position + 1 and
+    keeps fractional values (reference reset_pos_ids, utils_graphgpt.py:583-590)."""
+    from graphgpt_tpu.models.rope import reset_position_ids
+
+    pos = jnp.array([[0, 1, 2, 3], [0, 2, 4, 7]], jnp.int32)
+    out = np.asarray(reset_position_ids(pos, rope_range=128, mpe=1024))
+    assert out.dtype == np.float32
+    np.testing.assert_allclose(out[0], np.array([0, 1, 2, 3]) * 128.0 / 4.0)
+    np.testing.assert_allclose(out[1], np.array([0, 2, 4, 7]) * 128.0 / 8.0)
+    # disabled when rope_range <= 0
+    same = np.asarray(reset_position_ids(pos, rope_range=0, mpe=1024))
+    np.testing.assert_array_equal(same, np.asarray(pos))
+
+
+def test_rope_3d_interleaves_axes():
+    """3D rotary (reference RotaryEmbedding3D, utils_graphgpt.py:465-550):
+    signed exponent range and x/y/z interleaving across frequency slots."""
+    from graphgpt_tpu.models.rope import rope_3d_cos_sin
+
+    dh, base = 16, 10000.0
+    pos = jnp.array(
+        [[[1.0, 2.0, 3.0], [4.0, 0.0, 5.0]]], jnp.float32
+    )  # [1, 2, 3]
+    cos, sin = rope_3d_cos_sin(pos, dh, base)
+    assert cos.shape == (1, 2, dh) and sin.shape == (1, 2, dh)
+    # direct reimplementation of the reference math
+    start = -(dh // 2)
+    freq = 1.0 / (base ** (np.arange(start, start + dh, 2, dtype=np.float64) / dh))
+    expand = int(np.ceil((dh // 2) / 3.0))
+    p = np.asarray(pos)  # [1,2,3]
+    tiled = np.repeat(p[:, :, None, :], expand, axis=2).reshape(1, 2, -1)[
+        :, :, : dh // 2
+    ]
+    freqs = tiled * freq[None, None, :]
+    emb = np.concatenate([freqs, freqs], axis=-1)
+    np.testing.assert_allclose(np.asarray(cos), np.cos(emb), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sin), np.sin(emb), rtol=1e-5, atol=1e-6)
+    # frequency magnitudes span base^{1/2} .. ~base^{-1/2} (signed range)
+    assert freq.max() > 1.0 > freq.min()
+
+
+def test_step_pos_emb_table():
+    """Additive step-position table (reference get_step_pos_emb,
+    utils_graphgpt.py:553-571): 2π/period angles, (cos,sin) interleaved."""
+    from graphgpt_tpu.models.rope import step_pos_emb
+
+    dim, mpe = 8, 16
+    tab = step_pos_emb(dim, mpe)
+    assert tab.shape == (mpe, dim)
+    periods = np.arange(1, dim // 2 + 1, dtype=np.float64)
+    ang = np.arange(mpe)[:, None] * (2 * np.pi / periods)[None, :]
+    np.testing.assert_allclose(tab[:, 0::2], np.cos(ang), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(tab[:, 1::2], np.sin(ang), rtol=1e-5, atol=1e-6)
+    # period-1 column is constant (whole cycles at every integer step)
+    np.testing.assert_allclose(tab[:, 0], 1.0, atol=1e-5)
