@@ -296,6 +296,9 @@ class OptimizerConfig:
     cycle_mult: float = 1.0  # T_mult for cosine_wr
     use_ema: bool = False
     ema_decay: float = 0.9999
+    # >0 engages layer-wise LR decay: layer i scaled by decay^(L-1-i)
+    # (reference get_layerwise_param_groups*, src/utils/loss_utils.py:270-412)
+    layerwise_lr_decay: float = 0.0
 
 
 @dataclass

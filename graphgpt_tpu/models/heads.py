@@ -298,7 +298,10 @@ def task_forward(
         if key in batch:
             task_labels = batch[key]
             break
-    sample_wgt = batch.get("sample_wgt")
+    # the collator emits per-sample weights under "wgt" (data/collator.py);
+    # direct callers may pass "sample_wgt" (reference forward kwarg name,
+    # modeling_finetune.py:229-233) — accept both.
+    sample_wgt = batch.get("sample_wgt", batch.get("wgt"))
     if task_labels is not None:
         if cfg.problem_type == "regression":
             kind = "l1" if cfg.loss_type == "l1" else "mse"

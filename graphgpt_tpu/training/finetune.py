@@ -28,20 +28,38 @@ from .pipeline import build_dataset, build_tokenizer
 from .steps import init_train_state, make_eval_step, make_train_step
 
 
-def freeze_mask(params, freeze: int):
-    """Trainability mask: freeze=0 freezes embeddings, freeze=k additionally
-    freezes the first k decoder layers (reference freeze_llama_layers,
-    src/utils/modules_utils.py:44-54). Layer-stacked params can't freeze a
-    leading slice via optax masking, so k>0 zeroes those slices' updates in
-    a custom transform."""
-    if freeze < 0:
-        return None
+def make_freeze_transform(freeze: int, num_layers: int) -> optax.GradientTransformation:
+    """Final update-masking transform: freeze=0 freezes embeddings, freeze=k
+    additionally freezes the first k decoder layers (reference
+    freeze_llama_layers, src/utils/modules_utils.py:44-54). Our decoder
+    params are layer-stacked [L, ...], so the leading-k slice is zeroed with
+    a per-slice keep mask; zeroing the *update* (post-optimizer, including
+    weight decay) matches requires_grad=False semantics exactly."""
+    import jax.numpy as jnp
 
-    def label(path_key, _):
-        name = path_key[0].key if hasattr(path_key[0], "key") else str(path_key[0])
-        return "frozen" if name == "embed_tokens" else "trainable"
+    def init(params):
+        return ()
 
-    return jax.tree_util.tree_map_with_path(label, params)
+    def update(updates, state, params=None):
+        def mask(path, u):
+            keys = [getattr(p, "key", str(p)) for p in path]
+            if "embed_tokens" in keys:
+                return jnp.zeros_like(u)
+            if (
+                freeze > 0
+                and "layers" in keys
+                and u.ndim >= 1
+                and u.shape[0] == num_layers
+            ):
+                keep = (jnp.arange(num_layers) >= freeze).reshape(
+                    (num_layers,) + (1,) * (u.ndim - 1)
+                )
+                return u * keep.astype(u.dtype)
+            return u
+
+        return jax.tree_util.tree_map_with_path(mask, updates), state
+
+    return optax.GradientTransformation(init, update)
 
 
 class FinetunePipeline:
@@ -92,12 +110,15 @@ class FinetunePipeline:
         params = jax.device_put(params, self.shardings)
 
         self.schedule = opt_lib.make_schedule(tcfg.optimizer, self.total_steps, self.warmup_steps)
-        tx = opt_lib.make_optimizer(tcfg.optimizer, self.total_steps, self.warmup_steps, self.schedule)
-        mask = freeze_mask(params, tcfg.freeze)
-        if mask is not None:
-            tx = optax.multi_transform(
-                {"trainable": tx, "frozen": optax.set_to_zero()}, mask
-            )
+        tx = opt_lib.make_optimizer(
+            tcfg.optimizer,
+            self.total_steps,
+            self.warmup_steps,
+            self.schedule,
+            num_layers=m.num_hidden_layers,
+        )
+        if tcfg.freeze >= 0:
+            tx = optax.chain(tx, make_freeze_transform(tcfg.freeze, m.num_hidden_layers))
         self.tx = tx
         self.state = init_train_state(params, tx, tcfg.optimizer.use_ema)
         self.train_step = make_train_step(
@@ -126,7 +147,12 @@ class FinetunePipeline:
     # ------------------------------------------------------------------
     def _label_key(self) -> str:
         task = self.cfg.training.task_type
-        return {"graph": "graph_labels", "edge": "edge_labels", "node": "node_labels"}[task]
+        return {
+            "graph": "graph_labels",
+            "edge": "edge_labels",
+            "node": "node_labels",
+            "nodev2": "nodev2_labels",
+        }.get(task, "task_labels")
 
     def evaluate(self, indices, use_ema: bool = False, ogb_name: Optional[str] = None) -> Dict[str, float]:
         cfg = self.cfg
@@ -144,6 +170,12 @@ class FinetunePipeline:
             return {}
         scores = np.concatenate(all_scores)
         labels = np.concatenate(all_labels)
+        if cfg.training.task_type == "nodev2":
+            # token-level labels: flatten and drop -100 positions
+            flat = labels.reshape(-1)
+            keep = flat != -100
+            scores = scores.reshape(-1, scores.shape[-1])[keep]
+            labels = flat[keep]
         if cfg.model.problem_type == "regression":
             preds = scores.reshape(labels.shape)
         else:

@@ -157,6 +157,7 @@ def make_optimizer(
     total_steps: int,
     warmup_steps: int,
     schedule: Optional[optax.Schedule] = None,
+    num_layers: Optional[int] = None,
 ) -> optax.GradientTransformation:
     sched = schedule or make_schedule(cfg, total_steps, warmup_steps)
     adamw = optax.adamw(
@@ -183,7 +184,14 @@ def make_optimizer(
         )
     else:
         inner = adamw
-    tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), inner)
+    tail = []
+    if cfg.layerwise_lr_decay > 0:
+        if num_layers is None:
+            raise ValueError("layerwise_lr_decay>0 requires num_layers")
+        # scale *updates* post-AdamW (pre-scaling grads would be undone by
+        # Adam's second-moment normalisation)
+        tail.append(layerwise_lr_scales(None, num_layers, cfg.layerwise_lr_decay))
+    tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), inner, *tail)
     if cfg.gradient_accumulation_steps > 1:
         tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)
     return tx

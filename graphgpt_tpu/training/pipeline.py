@@ -140,7 +140,11 @@ class PretrainPipeline:
             tcfg.optimizer, self.total_steps, self.warmup_steps
         )
         self.tx = opt_lib.make_optimizer(
-            tcfg.optimizer, self.total_steps, self.warmup_steps, self.schedule
+            tcfg.optimizer,
+            self.total_steps,
+            self.warmup_steps,
+            self.schedule,
+            num_layers=m.num_hidden_layers,
         )
         self.state = init_train_state(params, self.tx, tcfg.optimizer.use_ema)
         self.train_step = make_train_step(

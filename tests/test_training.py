@@ -214,3 +214,99 @@ def test_extra_schedulers():
     assert float(rt(0)) < 1e-6
     assert abs(float(rt(50)) - 0.5) < 1e-2
     assert abs(float(rt(100)) - 1.0) < 1e-6
+
+
+def test_task_forward_uses_collator_wgt():
+    """Regression (round-1 verdict): the collator emits per-sample weights
+    under "wgt" (data/collator.py:103) and task_forward must apply them to
+    the loss, matching the reference's sample_wgt forward kwarg
+    (modeling_finetune.py:229-233)."""
+    cfg = tiny_cfg(
+        problem_type="single_label_classification",
+        num_labels=2,
+        use_generative=False,
+    )
+    params = heads.init_task_params(cfg, jax.random.PRNGKey(0))
+    batch = tiny_batch(cfg, b=4)
+    labels = jnp.asarray([0, 1, 0, 1])
+    out_plain = heads.task_forward(params, cfg, dict(batch, task_labels=labels))
+    out_wgt = heads.task_forward(
+        params,
+        cfg,
+        dict(batch, task_labels=labels, wgt=jnp.asarray([4.0, 0.1, 0.1, 0.1])),
+    )
+    assert not np.isclose(float(out_plain["loss"]), float(out_wgt["loss"]))
+    # explicit sample_wgt still honoured (and wins over wgt)
+    out_sw = heads.task_forward(
+        params,
+        cfg,
+        dict(
+            batch,
+            task_labels=labels,
+            sample_wgt=jnp.asarray([4.0, 0.1, 0.1, 0.1]),
+            wgt=jnp.ones(4),
+        ),
+    )
+    np.testing.assert_allclose(float(out_sw["loss"]), float(out_wgt["loss"]), rtol=1e-6)
+
+
+def test_freeze_transform_layers():
+    """Regression: freeze=k must freeze embeddings AND the first k decoder
+    layers (reference freeze_llama_layers, src/utils/modules_utils.py:44-54)."""
+    import optax
+
+    from graphgpt_tpu.training.finetune import make_freeze_transform
+
+    cfg = tiny_cfg()
+    params = heads.init_pretrain_params(cfg, jax.random.PRNGKey(0))
+    # lr_range_test with min_lr>0 => nonzero lr at step 0
+    ocfg = OptimizerConfig(lr=1e-2, min_lr=1e-2, scheduler="lr_range_test")
+    tx = optax.chain(
+        opt_lib.make_optimizer(ocfg, 10, 1),
+        make_freeze_transform(1, cfg.num_hidden_layers),
+    )
+    state = init_train_state(params, tx)
+    step = make_train_step(heads.pretrain_forward, cfg, tx, ocfg, donate=False)
+    new_state, _ = step(state, tiny_batch(cfg), jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(
+        np.asarray(new_state.params["embed_tokens"]), np.asarray(params["embed_tokens"])
+    )
+    q_new = np.asarray(new_state.params["layers"]["q"])
+    q_old = np.asarray(params["layers"]["q"])
+    np.testing.assert_array_equal(q_new[0], q_old[0])  # layer 0 frozen
+    assert not np.array_equal(q_new[1], q_old[1])  # layer 1 trains
+
+
+def test_layerwise_lr_knob_engaged():
+    """Regression: OptimizerConfig.layerwise_lr_decay>0 must engage
+    layer-wise LR scaling inside make_optimizer (reference
+    get_layerwise_param_groups*, src/utils/loss_utils.py:270-412)."""
+    cfg = tiny_cfg()
+    params = heads.init_pretrain_params(cfg, jax.random.PRNGKey(0))
+    ocfg = OptimizerConfig(
+        lr=1e-2,
+        min_lr=1e-2,
+        scheduler="lr_range_test",
+        weight_decay=0.0,
+        layerwise_lr_decay=0.5,
+    )
+    tx = opt_lib.make_optimizer(ocfg, 10, 1, num_layers=cfg.num_hidden_layers)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, tx.init(params), params)
+    q = np.asarray(updates["layers"]["q"])
+    ratio = abs(q[0, 0, 0] / q[-1, 0, 0])
+    assert abs(ratio - 0.5) < 1e-3, ratio
+
+
+def test_finetune_label_key_nodev2():
+    """Regression: _label_key must resolve nodev2 (and unknown task types
+    fall back to task_labels) instead of raising KeyError."""
+    from graphgpt_tpu.config import Config
+    from graphgpt_tpu.training.finetune import FinetunePipeline
+
+    fp = FinetunePipeline.__new__(FinetunePipeline)
+    fp.cfg = Config()
+    fp.cfg.training.task_type = "nodev2"
+    assert fp._label_key() == "nodev2_labels"
+    fp.cfg.training.task_type = "smtp"
+    assert fp._label_key() == "task_labels"
