@@ -108,31 +108,35 @@ class GraphTokenLoader:
             for res in pool.imap(_tokenize_chunk, chunks, chunksize=1):
                 yield from res
 
-    def epoch_batches(self, indices: np.ndarray, epoch: int = 0) -> Iterator[Batch]:
+    def epoch_batches(
+        self,
+        indices: np.ndarray,
+        epoch: int = 0,
+        pack: Optional[bool] = None,
+        fixed_length: Optional[int] = None,
+    ) -> Iterator[Batch]:
+        """Batches for one pass over `indices`.
+
+        `pack`/`fixed_length` override the loader defaults — multi-host eval
+        needs unpacked fixed-shape batches so every process emits the same
+        batch count and global shape.
+        """
+        use_pack = self.pack if pack is None else pack
         stream = self._sample_stream(indices, epoch)
-        if self.pack:
+        if use_pack:
             stream = pack_samples(stream, self.mpe)
             if self.post_pack_fn is not None:
                 rng = np.random.default_rng((self.seed, epoch, 777))
                 stream = (self.post_pack_fn(s, rng) for s in stream)
+        flen = fixed_length if fixed_length is not None else (self.mpe if use_pack else None)
         buf: List[TokenizedSample] = []
         for s in stream:
             buf.append(s)
             if len(buf) == self.batch_size:
-                yield collate(
-                    buf,
-                    mpe=self.mpe,
-                    bucket=self.bucket,
-                    fixed_length=self.mpe if self.pack else None,
-                )
+                yield collate(buf, mpe=self.mpe, bucket=self.bucket, fixed_length=flen)
                 buf = []
         if buf and not self.drop_last:
-            yield collate(
-                buf,
-                mpe=self.mpe,
-                bucket=self.bucket,
-                fixed_length=self.mpe if self.pack else None,
-            )
+            yield collate(buf, mpe=self.mpe, bucket=self.bucket, fixed_length=flen)
 
     def prefetched(self, indices: np.ndarray, epoch: int = 0) -> Iterator[Batch]:
         """Background-thread prefetch of epoch_batches."""
@@ -162,7 +166,9 @@ class GraphTokenLoader:
 
 def estimate_tokens_per_sample(dataset, tokenizer, n: int = 256, seed: int = 0) -> float:
     """Sampled estimate (reference estimate_tokens_per_sample,
-    misc_utils.py:349-378)."""
+    misc_utils.py:349-378). Single-host: every host sampling the same seed
+    over the same dataset agrees; for per-host-sharded corpora use
+    estimate_tokens_per_sample_global."""
     rng = np.random.default_rng(seed)
     n = min(n, len(dataset))
     idx = rng.choice(len(dataset), size=n, replace=False)
@@ -170,3 +176,26 @@ def estimate_tokens_per_sample(dataset, tokenizer, n: int = 256, seed: int = 0) 
     for i in idx:
         total += tokenizer(dataset[int(i)], rng).seq_len
     return total / n
+
+
+def estimate_tokens_per_sample_global(
+    dataset, tokenizer, n: int = 256, seed: int = 0
+) -> float:
+    """Cross-host-consistent estimate: every process samples its local shard
+    and the per-host (sum, count) pairs are all-gathered so all hosts derive
+    the SAME step schedule (the reference all_gathers sampled lengths,
+    misc_utils.py:349-378). Degenerates to the local estimate on 1 process."""
+    import jax
+
+    local_n = min(n, len(dataset))
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(dataset), size=local_n, replace=False) if local_n else []
+    total = float(sum(tokenizer(dataset[int(i)], rng).seq_len for i in idx))
+    if jax.process_count() == 1:
+        return total / max(local_n, 1)
+    from jax.experimental import multihost_utils
+
+    pair = np.asarray([total, float(local_n)], np.float64)
+    gathered = multihost_utils.process_allgather(pair)  # [n_proc, 2]
+    sums = np.sum(gathered, axis=0)
+    return float(sums[0] / max(sums[1], 1.0))

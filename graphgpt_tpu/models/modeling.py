@@ -25,6 +25,7 @@ from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from ..config import ModelConfig
 from ..ops.attention import attention
@@ -227,7 +228,8 @@ def backbone_apply(
         hpre = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
         gate = _act(cfg.hidden_act)(hpre @ lp["gate"].astype(dt))
         up = hpre @ lp["up"].astype(dt)
-        mlp_out = (gate * up) @ lp["down"].astype(dt)
+        gated = checkpoint_name(gate * up, "mlp_gated")
+        mlp_out = gated @ lp["down"].astype(dt)
         mlp_out = _dropout(mlp_out, cfg.mlp_dropout, r_mlp, train)
         if use_ls:
             mlp_out = mlp_out * lp["ls2"].astype(dt)
@@ -283,6 +285,18 @@ def backbone_apply(
             fn = jax.checkpoint(
                 layer_fn,
                 policy=jax.checkpoint_policies.save_only_these_names(*SAVE_ATTN_NAMES),
+            )
+        elif cfg.remat_policy == "save_attn_mlp":
+            # save_attn + the gate*up product: backward recompute also skips
+            # the two widest (d -> 4d) matmuls, trading one [B,P,4D] bf16
+            # tensor per layer for ~half the recompute FLOPs
+            from ..ops.flash_attention import SAVE_ATTN_NAMES
+
+            fn = jax.checkpoint(
+                layer_fn,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    *SAVE_ATTN_NAMES, "mlp_gated"
+                ),
             )
         else:
             fn = jax.checkpoint(layer_fn)

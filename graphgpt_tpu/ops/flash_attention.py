@@ -34,6 +34,7 @@ in one pass over q tiles) — no [P, P] tensor is ever materialised.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -50,8 +51,12 @@ _MAX_SINGLE_BLOCK = 2048
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 
-def _pick_block(p: int, target: int = 512) -> int:
-    b = min(p, target)
+# sweepable q-tile target (tools/bench_sweep.py); 512 won the v5e sweep
+_BQ_TARGET = int(os.environ.get("GGT_FLASH_BQ", "512"))
+
+
+def _pick_block(p: int, target: int = 0) -> int:
+    b = min(p, target or _BQ_TARGET)
     while p % b != 0:
         b //= 2
     return max(b, 1)
@@ -556,6 +561,13 @@ def _attach_grad_bwd(causal, h, dh, residuals, g):
 _attach_grad.defvjp(_attach_grad_fwd, _attach_grad_bwd)
 
 
+# optionally pad Dh up to the 128-lane MXU width inside the kernels
+# (2x nominal FLOPs at full rate). MEASURED SLOWER on v5e at dh=64
+# (8.9 vs 6.0 ms fwd) — the per-head 64-wide matmuls already pipeline well;
+# kept as a sweep knob only (GGT_PAD_DH=128).
+_PAD_DH = int(os.environ.get("GGT_PAD_DH", "64"))
+
+
 def flash_attention(
     q: jnp.ndarray,  # [B, P, H, Dh]
     k: jnp.ndarray,  # [B, P, Hkv, Dh]
@@ -576,17 +588,25 @@ def flash_attention(
     # fold the softmax scale into q outside the kernel: a cheap multiply
     # XLA fuses into the q projection, instead of [BQ,BK] fp32 work per
     # tile inside three kernels. d(qs)/dq = scale is applied by autodiff.
-    qs = (q * jnp.asarray(scale, q.dtype)).reshape(b, p, h * dh)
-    kf = k.reshape(b, p, h * dh)
-    vf = v.reshape(b, p, h * dh)
+    qs = q * jnp.asarray(scale, q.dtype)
+    if dh < _PAD_DH:
+        pad = [(0, 0)] * 3 + [(0, _PAD_DH - dh)]
+        qs, k, v = jnp.pad(qs, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+        dh_k = _PAD_DH
+    else:
+        dh_k = dh
+    qs = qs.reshape(b, p, h * dh_k)
+    kf = k.reshape(b, p, h * dh_k)
+    vf = v.reshape(b, p, h * dh_k)
     bq, bk = _fwd_blocks(p)
     out, lse = _flash_fwd(
         jax.lax.stop_gradient(qs),
         jax.lax.stop_gradient(kf),
         jax.lax.stop_gradient(vf),
-        segment_ids, causal, bq, bk, h, dh,
+        segment_ids, causal, bq, bk, h, dh_k,
     )
     out = checkpoint_name(out, "attn_out")
     lse = checkpoint_name(lse, "attn_lse")
-    out = _attach_grad(qs, kf, vf, segment_ids, out, lse, causal, h, dh)
-    return out.reshape(b, p, h, dh)
+    out = _attach_grad(qs, kf, vf, segment_ids, out, lse, causal, h, dh_k)
+    out = out.reshape(b, p, h, dh_k)
+    return out[..., :dh] if dh_k != dh else out

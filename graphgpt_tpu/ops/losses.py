@@ -36,7 +36,7 @@ def chunked_stacked_ce(
     dlm_normalizer: Optional[float] = None,  # if set: sum(w*ce)/norm (dLM loss)
     focal_gamma: float = 0.0,
     label_smoothing: float = 0.0,
-    chunk: int = 128,
+    chunk: int = 0,  # 0 -> env GGT_CE_CHUNK (sweepable), default 128
 ) -> jnp.ndarray:
     """Masked (optionally dLM-weighted) CE over stacked-feature labels.
 
@@ -49,6 +49,10 @@ def chunked_stacked_ce(
     b, p, d = hidden.shape
     n = labels.shape[-1]
     v = lm_head.shape[-1]
+    if chunk <= 0:
+        import os
+
+        chunk = int(os.environ.get("GGT_CE_CHUNK", "128"))
     if p % chunk != 0:
         chunk = p  # degenerate: single chunk
     n_chunks = p // chunk

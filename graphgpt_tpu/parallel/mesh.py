@@ -44,11 +44,25 @@ def make_mesh(cfg: Optional[MeshConfig] = None, devices=None) -> Mesh:
     return Mesh(arr, AXES)
 
 
-def initialize_multihost(coordinator: Optional[str] = None) -> None:
+def initialize_multihost(
+    coordinator: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
     """Multi-host bring-up (replaces dist.init_process_group; NCCL env
-    handling at misc_utils.py:507-539). No-op on a single process."""
+    handling at misc_utils.py:507-539). Explicit args or GGT_NUM_PROCESSES /
+    GGT_PROCESS_ID env vars; no-op on a single process."""
+    import os
+
+    num_processes = num_processes or int(os.environ.get("GGT_NUM_PROCESSES", "0")) or None
+    if process_id is None and "GGT_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["GGT_PROCESS_ID"])
     if coordinator:
-        jax.distributed.initialize(coordinator_address=coordinator)
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
     else:
         try:
             jax.distributed.initialize()
@@ -114,9 +128,41 @@ def named_sharding_tree(mesh: Mesh, spec_tree):
 
 
 def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
-    """Device-put host arrays with the batch axis split over data*fsdp."""
+    """Device-put host arrays with the batch axis split over data*fsdp.
+
+    Multi-process: each host passes its LOCAL batch shard and the global
+    array is assembled across processes (the jax equivalent of the
+    reference's rank-strided samplers, loader_utils.py:70-90)."""
     out = {}
+    multi = jax.process_count() > 1
     for k, v in batch.items():
         spec = P(("data", "fsdp"), *([None] * (np.ndim(v) - 1)))
-        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if multi:
+            out[k] = jax.make_array_from_process_local_data(sharding, np.asarray(v))
+        else:
+            out[k] = jax.device_put(v, sharding)
     return out
+
+
+def replicate(mesh: Mesh, tree):
+    """Fully replicate host values over the (possibly multi-process) mesh."""
+    return jax.tree_util.tree_map(
+        lambda v: jax.device_put(
+            v, NamedSharding(mesh, P(*([None] * np.ndim(v))))
+        ),
+        tree,
+    )
+
+
+def cross_host_mean_scalar(values) -> float:
+    """Mean of host-local scalars across all processes (reference
+    dist.reduce of eval losses, log_eval_dump_utils.py:284-291)."""
+    arr = np.asarray(values, np.float64).reshape(-1)
+    total, count = float(arr.sum()), float(arr.size)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        g = multihost_utils.process_allgather(np.asarray([total, count]))
+        total, count = float(np.sum(g[..., 0])), float(np.sum(g[..., 1]))
+    return total / count if count else float("nan")

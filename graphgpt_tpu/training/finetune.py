@@ -120,7 +120,10 @@ class FinetunePipeline:
         if tcfg.freeze >= 0:
             tx = optax.chain(tx, make_freeze_transform(tcfg.freeze, m.num_hidden_layers))
         self.tx = tx
-        self.state = init_train_state(params, tx, tcfg.optimizer.use_ema)
+        use_ema = tcfg.optimizer.use_ema
+        # jit the init so opt-state/step come out as global (replicated)
+        # arrays under multi-process execution
+        self.state = jax.jit(lambda p: init_train_state(p, tx, use_ema))(params)
         self.train_step = make_train_step(
             heads.task_forward, m, tx, tcfg.optimizer, self.schedule
         )
@@ -241,7 +244,7 @@ class FinetunePipeline:
 
     def run(self):
         tcfg = self.cfg.training
-        rng = jax.random.PRNGKey(tcfg.seed)
+        rng = mesh_lib.replicate(self.mesh, jax.random.PRNGKey(tcfg.seed))
         global_step = 0
         with self.mesh:
             for epoch in range(self.epochs):
@@ -275,3 +278,20 @@ class FinetunePipeline:
                         self.ckpt.save(epoch, self.state, {"epoch": epoch, "best": True})
         self.ckpt.wait()
         return self.best
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--coordinator", default=os.environ.get("GGT_COORDINATOR"))
+    ap.add_argument("overrides", nargs="*")
+    args = ap.parse_args()
+    # multi-host bring-up BEFORE any other jax call (reference analogue:
+    # env-driven dist init in misc_utils.py:507-539)
+    mesh_lib.initialize_multihost(args.coordinator)
+    from ..config import load_config
+
+    _cfg = load_config(args.config, args.overrides)
+    FinetunePipeline(_cfg).setup().run()

@@ -28,7 +28,7 @@ from ..data.datasets import (
     SyntheticMolDataset,
     train_valid_split,
 )
-from ..data.loader import GraphTokenLoader, estimate_tokens_per_sample
+from ..data.loader import GraphTokenLoader, estimate_tokens_per_sample_global
 from ..data.tokenizer import StackedGSTTokenizer
 from ..models import heads
 from ..parallel import mesh as mesh_lib
@@ -113,7 +113,10 @@ class PretrainPipeline:
         if pack:
             tokens_per_sample = float(tcfg.max_length)  # packed rows are full
         else:
-            tokens_per_sample = estimate_tokens_per_sample(
+            # cross-host consistent so all hosts compute the SAME step
+            # schedule (reference all_gathers sampled lengths,
+            # misc_utils.py:349-378)
+            tokens_per_sample = estimate_tokens_per_sample_global(
                 self.dataset, self.tokenizer, n=min(256, tcfg.tot_samples)
             )
         self.total_steps, self.warmup_steps = opt_lib.compute_total_steps(
@@ -146,7 +149,13 @@ class PretrainPipeline:
             self.schedule,
             num_layers=m.num_hidden_layers,
         )
-        self.state = init_train_state(params, self.tx, tcfg.optimizer.use_ema)
+        # init under jit: opt-state/EMA inherit the param shardings and the
+        # step scalar comes out replicated as a GLOBAL array — required for
+        # multi-process execution (host-local scalars cannot mix with global
+        # arrays in one jitted call)
+        tx = self.tx
+        use_ema = tcfg.optimizer.use_ema
+        self.state = jax.jit(lambda p: init_train_state(p, tx, use_ema))(params)
         self.train_step = make_train_step(
             heads.pretrain_forward, m, self.tx, tcfg.optimizer, self.schedule
         )
@@ -215,7 +224,7 @@ class PretrainPipeline:
     def run(self, max_steps: Optional[int] = None):
         cfg = self.cfg.training
         step_limit = min(self.total_steps, max_steps or self.total_steps)
-        rng = jax.random.PRNGKey(cfg.seed)
+        rng = mesh_lib.replicate(self.mesh, jax.random.PRNGKey(cfg.seed))
         thr = Throughput()
         # analytic FLOPs/token for TFLOPs-per-s + MFU log columns (stands in
         # for the reference's DeepSpeed FlopsProfiler)
@@ -271,16 +280,38 @@ class PretrainPipeline:
         self.loader.close()  # terminate worker pool before interpreter exit
         return self.state
 
+    def _eval_batches(self, vidx: np.ndarray):
+        """Valid batches, multi-host safe: under >1 process, shard the subset
+        across hosts with a FIXED per-host batch count and fixed shapes so
+        every process issues identical collective eval steps."""
+        pc, pi = jax.process_count(), jax.process_index()
+        if pc == 1:
+            yield from self.loader.epoch_batches(vidx, epoch=0)
+            return
+        bs = self.loader.batch_size
+        k = len(vidx) // (bs * pc)
+        if k == 0:
+            # too few samples to shard: all hosts evaluate the same batch
+            local = vidx[:bs]
+        else:
+            local = vidx[: k * bs * pc][pi::pc]
+        yield from self.loader.epoch_batches(
+            local, epoch=0, pack=False, fixed_length=self.cfg.training.max_length
+        )
+
     def _save_and_eval(self, step: int, epoch: int):
         self.ckpt.save(step, self.state, {"step": step, "epoch": epoch})
         if self.cfg.training.do_valid and len(self.valid_idx) > 0:
+            # cross-host-reduced mean (reference dist.reduce of eval loss,
+            # log_eval_dump_utils.py:284-291)
             losses = []
-            for batch in self.loader.epoch_batches(self.valid_idx[:512], epoch=0):
+            for batch in self._eval_batches(self.valid_idx[:512]):
                 b = mesh_lib.shard_batch(self.mesh, dict(batch.data))
                 out = self.eval_step(self.state, b)
                 losses.append(float(out["loss"]))
-            if losses:
-                log_line(f"valid loss @ step {step}: {np.mean(losses):.4f}")
+            loss = mesh_lib.cross_host_mean_scalar(losses)
+            if np.isfinite(loss):
+                log_line(f"valid loss @ step {step}: {loss:.4f}")
 
     def evaluate_only(self) -> Dict[str, float]:
         """PT eval-only flow (reference pt_eval_only / eval_pt_gen_only,
@@ -409,8 +440,12 @@ if __name__ == "__main__":
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--eval-only", action="store_true")
     ap.add_argument("--config", default=None)
+    ap.add_argument("--coordinator", default=os.environ.get("GGT_COORDINATOR"))
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
+    # multi-host bring-up BEFORE any other jax call (replaces the
+    # reference's env-driven dist.init_process_group, misc_utils.py:507-539)
+    mesh_lib.initialize_multihost(args.coordinator)
     if args.smoke:
         smoke_test()
     else:

@@ -1,0 +1,140 @@
+"""2-process jax.distributed pipeline test (multi-host wiring).
+
+Spawns two REAL processes that initialize jax.distributed over a local
+coordinator, each with 2 virtual CPU devices (4 global), run 10 steps of
+the pretrain pipeline on a 4-way data mesh with per-host data shards,
+save a checkpoint, then resume — the multi-host path the reference drives
+via deepspeed/NCCL env bring-up (misc_utils.py:507-539).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_WORKER = r"""
+import json, os, sys
+import numpy as np
+
+# per-process virtual CPU devices must be configured before jax imports;
+# this container's sitecustomize hard-sets jax_platforms="axon,cpu", so the
+# config must ALSO be flipped after import (see tests/conftest.py) — the two
+# workers must never touch the single real TPU
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+from graphgpt_tpu.parallel import mesh as mesh_lib
+
+mesh_lib.initialize_multihost(
+    coordinator=sys.argv[1], num_processes=2, process_id=int(sys.argv[2])
+)
+
+assert jax.process_count() == 2, jax.process_count()
+assert jax.device_count() == 4, jax.device_count()
+
+from graphgpt_tpu.config import Config
+from graphgpt_tpu.training.pipeline import PretrainPipeline
+
+out_dir = sys.argv[3]
+
+def build(total_steps):
+    cfg = Config()
+    cfg.tokenization.semantics.node.discrete = "node_attr"
+    cfg.tokenization.semantics.node.dim = 9
+    cfg.tokenization.semantics.edge.discrete = "edge_attr"
+    cfg.tokenization.semantics.edge.dim = 3
+    cfg.model.hidden_size = 64
+    cfg.model.num_hidden_layers = 2
+    cfg.model.num_attention_heads = 4
+    cfg.model.head_dim = 16
+    cfg.model.intermediate_size = 128
+    cfg.model.dtype = "float32"
+    cfg.training.batch_size = 8  # global; 4 rows per host
+    cfg.training.max_length = 64
+    cfg.training.pack_tokens = 1
+    cfg.training.num_workers = 0
+    cfg.training.schedule.total_num_steps = total_steps
+    cfg.training.schedule.warmup_num_steps = 2
+    cfg.training.schedule.logging_steps = 5
+    cfg.training.schedule.steps_per_saving = 5
+    cfg.training.valid_percent = 0.02
+    cfg.training.do_valid = True
+    cfg.training.tot_samples = 400
+    cfg.training.output_dir = out_dir
+    return cfg
+
+# phase 1: 10 steps (saves at 5 and 10)
+pipe = PretrainPipeline(build(10)).setup()
+state = pipe.run()
+step_after = int(state.step)
+loss_dbg = None
+pipe.loader.close()
+
+# phase 2: resume and run 5 more steps
+pipe2 = PretrainPipeline(build(15)).setup()
+resumed_from = pipe2.start_step
+state2 = pipe2.run()
+pipe2.loader.close()
+
+print(json.dumps({
+    "proc": int(sys.argv[2]),
+    "step_after": step_after,
+    "resumed_from": resumed_from,
+    "final_step": int(state2.step),
+    "param_digest": float(
+        np.sum(np.abs(np.asarray(jax.device_get(state2.params["final_norm"]))))
+    ),
+}), flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_pipeline(tmp_path):
+    port = _free_port()
+    coord = f"localhost:{port}"
+    out_dir = str(tmp_path / "run")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _WORKER, coord, str(i), out_dir],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        for i in range(2)
+    ]
+    results = {}
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err.decode()[-3000:]
+        line = [l for l in out.decode().splitlines() if l.startswith("{")][-1]
+        r = json.loads(line)
+        results[r["proc"]] = r
+    assert set(results) == {0, 1}
+    for r in results.values():
+        assert r["step_after"] == 10
+        assert r["resumed_from"] == 10  # auto-resumed from the step-10 ckpt
+        assert r["final_step"] == 15
+    # both processes converge to identical replicated params
+    np.testing.assert_allclose(
+        results[0]["param_digest"], results[1]["param_digest"], rtol=1e-6
+    )
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
