@@ -336,6 +336,10 @@ class TrainingConfig:
     freeze: int = -1
     epoch_per_eval: int = 1
     eval_only: bool = False
+    # FT eval parity knobs (reference train_cfg.ft_eval, finetune_mode.py):
+    k_samplers: int = 256  # train-subset eval size (ft_eval.k_samplers)
+    save_pred: bool = False  # dump per-split prediction csv at each eval
+    dump_infer: bool = False  # dump test logits + pooled hidden states
 
 
 # ---------------------------------------------------------------------------

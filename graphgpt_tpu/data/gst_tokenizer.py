@@ -55,6 +55,7 @@ class GSTTokenizer:
         vocab_map: Dict[str, int],
         task_type: str = "pretrain",
         mlm_cfg=None,
+        num_intra_cls: int = 0,
     ):
         self.cfg = cfg
         self.vocab_map = vocab_map
@@ -121,6 +122,12 @@ class GSTTokenizer:
         ]
         self.edge_cont_ident = [
             vocab_map.get(f"{world}#edge#{c}#1", 0) for c in range(sem.edge.dim)
+        ]
+        # intra-instance class tokens for nodev2 token_ce_intra (reference
+        # reserved semantics tokens, tokenizer_utils.py:729-748)
+        self.num_intra_cls = num_intra_cls
+        self.intra_cls_token_ids = [
+            vocab_map[t] for t in sem.reserved_tokens[:num_intra_cls] if t in vocab_map
         ]
 
     def _continuous_tokens(self, vals, ident_ids, ignored) -> List[int]:
@@ -206,6 +213,24 @@ class GSTTokenizer:
                 mi += 1
         return tokens, walk, np.asarray(is_node_idx), ranks
 
+    def euler_gate_labels(self, labels: List[int]) -> List[int]:
+        """pretrain-euler supervision gate (reference
+        prepare_inputs_for_last_token_pred_in_pretrain,
+        tokenizer_utils.py:478-500): supervise position i only once two
+        CONSECUTIVE label-padded positions have been seen (the boundary
+        between the prompt/euler prefix and the answer stream); an eos label
+        closes the window (packed-sequence safe)."""
+        out = [LABEL_PAD_ID] * len(labels)
+        flag = 0
+        for i in range(2, len(labels)):
+            if labels[i - 1] == LABEL_PAD_ID and labels[i - 2] == LABEL_PAD_ID:
+                flag = 1
+            if labels[i - 1] == self.eos_id:
+                flag = 0
+            if flag:
+                out[i] = labels[i]
+        return out
+
     def labels_for(self, tokens: List[int]) -> List[int]:
         """NTP labels = shift-by-one + eos; under random re-indexing a node
         token not seen earlier becomes <new> (nx_utils.py:615-630)."""
@@ -280,6 +305,18 @@ class GSTTokenizer:
                 is_node_idx = np.concatenate(
                     [is_node_idx, np.zeros(len(extra_t), bool)]
                 )
+            if self.label_pad_ids:
+                # reference pads labels over the FULL combined stream
+                # (get_input_dict_from_seq_tokens_id runs after the aux
+                # streams are appended, tokenizer.py:536-556)
+                labels = [
+                    LABEL_PAD_ID if t in self.label_pad_ids else t for t in labels
+                ]
+            if task == "pretrain-euler":
+                # gate runs over the FULL stream (the double-<label_pad>
+                # marker lives at the main/instruction boundary, e.g. with
+                # <eos> in label_tokens_to_pad)
+                labels = self.euler_gate_labels(labels)
             ids = np.asarray(tokens, np.int32)
             lab = np.asarray(labels, np.int32)
             pos = self.position_ids_for(tokens, is_node_idx, rng)
@@ -290,7 +327,7 @@ class GSTTokenizer:
                 attention_mask=np.ones(len(tokens), np.int8),
                 segment_lengths=[len(tokens)],
             )
-        if task == "pretrain-mlm":
+        if task in ("pretrain-mlm", "pretrain-cl"):
             # flat BERT-style masking (tokenizer_utils._mask_input_ids:175-203)
             tokens = tokens + [self.eos_id]
             ids = np.asarray(tokens, np.int32)
@@ -302,7 +339,17 @@ class GSTTokenizer:
             labels[chosen] = ids[chosen]
             masked = ids.copy()
             masked[chosen] = self.mask_id
-            pos = self.position_ids_for(tokens, np.append(is_node_idx, True), rng)
+            flags = np.append(is_node_idx, True)
+            if task == "pretrain-cl":
+                # trailing <gsum> pools the contrastive embedding; its label
+                # stays padded (reference _add_gsum_tokens_for_cl,
+                # tokenizer_utils.py:366-387)
+                masked = np.append(masked, np.int32(self.gsum_id))
+                labels = np.append(labels, np.int32(LABEL_PAD_ID))
+                tokens = tokens + [self.gsum_id]
+                flags = np.append(flags, True)
+                n += 1
+            pos = self.position_ids_for(tokens, flags, rng)
             return TokenizedSample(
                 input_ids=masked,
                 labels=labels,
@@ -345,5 +392,91 @@ class GSTTokenizer:
                 attention_mask=np.ones(len(tokens), np.int8),
                 node_labels=np.asarray(y, np.float32).reshape(-1),
                 segment_lengths=[len(tokens)],
+            )
+        if task == "edge":
+            # append src/dst node-idx tokens after eos, shuffled (reference
+            # prepare_inputs_for_edge_lvl_task, tokenizer_utils.py:570-633;
+            # flat path extends the raw src/dst token ids)
+            root = np.atleast_1d(np.asarray(graph.root_n_id)).reshape(-1)
+            assert len(root) == 2, "edge task needs two seed nodes"
+            pair = [
+                self._idx_tokens(ranks[int(np.flatnonzero(walk == r)[0])])
+                for r in root
+            ]
+            if rng.random() < 0.5:
+                pair = pair[::-1]
+            tgt_tokens = [t for seg in pair for t in seg]
+            tokens = tokens + [self.eos_id] + tgt_tokens
+            ids = np.asarray(tokens, np.int32)
+            pos = self.position_ids_for(
+                tokens,
+                np.concatenate([is_node_idx, [True] * (1 + len(tgt_tokens))]),
+                rng,
+            )
+            extras = {}
+            if "eval_group" in graph.extra:
+                extras["eval_group"] = np.asarray(graph.extra["eval_group"], np.int64)
+            return TokenizedSample(
+                input_ids=ids,
+                labels=np.full(len(tokens), LABEL_PAD_ID, np.int32),
+                position_ids=pos,
+                attention_mask=np.ones(len(tokens), np.int8),
+                edge_labels=np.asarray(graph.y, np.float32).reshape(-1),
+                wgt=graph.wgt,
+                segment_lengths=[len(tokens)],
+                extras=extras,
+            )
+        if task == "nodev2":
+            # token-level node classification on the flat stream: each node's
+            # label sits on the FIRST occurrence of its (low) idx token;
+            # optional intra-instance class tokens + cls_idx (reference
+            # prepare_inputs_for_node_v2_token_lvl_task,
+            # tokenizer_utils.py:688-748)
+            y = (
+                np.asarray(graph.y).reshape(graph.num_nodes, -1)[:, 0]
+                if graph.y is not None
+                else np.full(graph.num_nodes, LABEL_PAD_ID)
+            )
+            n0 = len(tokens)
+            nodev2 = np.full(n0, LABEL_PAD_ID, np.int64)
+            raw_node_idx = np.full(n0, LABEL_PAD_ID, np.int64)
+            # walk order == order of node-idx token emission; label the LAST
+            # token of each node's idx encoding (its low token)
+            tok_pos = np.flatnonzero(is_node_idx)
+            # group consecutive node-idx tokens per walk step: each walk step
+            # emits 1 or 2 idx tokens (hi, lo); reconstruct boundaries
+            step_last: List[int] = []
+            cursor = 0
+            for r in ranks:
+                ntok = 2 if int(r) >= self.base else 1
+                step_last.append(int(tok_pos[cursor + ntok - 1]))
+                cursor += ntok
+            seen: set = set()
+            for i, node in enumerate(walk):
+                node = int(node)
+                if node not in seen:
+                    seen.add(node)
+                    nodev2[step_last[i]] = int(y[node])
+                    raw_node_idx[step_last[i]] = node
+            extras = {"nodev2_labels": nodev2, "raw_node_idx": raw_node_idx}
+            if self.num_intra_cls > 0:
+                order = rng.permutation(self.num_intra_cls)
+                cls_ids = [self.intra_cls_token_ids[k] for k in order]
+                extras["cls_perm"] = np.argsort(order).astype(np.int64)
+                extras["cls_idx"] = np.asarray([n0], np.int64)
+                tokens = tokens + cls_ids
+                pad = np.full(len(cls_ids), LABEL_PAD_ID, np.int64)
+                extras["nodev2_labels"] = np.concatenate([nodev2, pad])
+                extras["raw_node_idx"] = np.concatenate([raw_node_idx, pad])
+                is_node_idx = np.concatenate([is_node_idx, np.ones(len(cls_ids), bool)])
+            ids = np.asarray(tokens, np.int32)
+            pos = self.position_ids_for(tokens, is_node_idx, rng)
+            return TokenizedSample(
+                input_ids=ids,
+                labels=np.full(len(tokens), LABEL_PAD_ID, np.int32),
+                position_ids=pos,
+                attention_mask=np.ones(len(tokens), np.int8),
+                segment_lengths=[len(tokens)],
+                extras=extras,
             )
         raise NotImplementedError(f"GSTTokenizer task {task!r}")

@@ -46,6 +46,11 @@ class Checkpointer:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
+    def all_steps(self):
+        """All retained checkpoint steps, ascending (reference eval_only
+        iterates epoch_{i} dirs, finetune_mode.py:421-432)."""
+        return sorted(self._mgr.all_steps())
+
     def restore(self, state_template, step: Optional[int] = None):
         import orbax.checkpoint as ocp
 

@@ -140,9 +140,13 @@ class FinetunePipeline:
             seed=tcfg.seed,
         )
         self.ckpt = Checkpointer(os.path.join(tcfg.output_dir, "ckpt"))
+        self.ckpt_ema_best = Checkpointer(
+            os.path.join(tcfg.output_dir, "ckpt_ema_best"), keep=1
+        )
         self.logger = CsvLogger(os.path.join(tcfg.output_dir, "loss.csv"))
         self.results = CsvLogger(os.path.join(tcfg.output_dir, "result.csv"))
         self.best: Dict[str, float] = {}
+        self.ema_best: Dict[str, float] = {}
         if jax.process_index() == 0:
             save_run_config(tcfg.output_dir, config_to_dict(cfg))
         return self
@@ -242,8 +246,88 @@ class FinetunePipeline:
         log_line(f"hidden states {arr.shape} dumped to {path}")
         return arr
 
+    def _epoch_eval(self, epoch: int, global_step: int, ogb_name: Optional[str] = None):
+        """Per-epoch eval surface mirroring the reference
+        log_dump_ft_training_stats (log_eval_dump_utils.py:649-799):
+        train-subset -> full valid -> EMA-valid (with ema_best tracking)
+        -> test with EMA when available; result.csv row per epoch; optional
+        prediction dumps per split and test hidden-state/logit dumps."""
+        tcfg = self.cfg.training
+        use_ema = tcfg.optimizer.use_ema
+        ogb_name = ogb_name or self.cfg.tokenization.dataset
+        res: Dict[str, float] = {}
+        # 1. partial train data (ft_eval.k_samplers)
+        if tcfg.k_samplers > 0 and len(self.train_idx) > 0:
+            tr = self.evaluate(self.train_idx[: tcfg.k_samplers], ogb_name=ogb_name)
+            res.update({f"train_{k}": v for k, v in tr.items()})
+        # 2. full valid data
+        val = self.evaluate(self.valid_idx, ogb_name=ogb_name)
+        res.update({f"valid_{k}": v for k, v in val.items()})
+        # 2.1 valid with EMA -> ema_best (compare_metrics_res semantics)
+        if use_ema:
+            val_ema = self.evaluate(self.valid_idx, use_ema=True, ogb_name=ogb_name)
+            res.update({f"valid_ema_{k}": v for k, v in val_ema.items()})
+            flag, self.ema_best = metrics_mod.compare_metrics_res(
+                {f"ema_{k}": v for k, v in val_ema.items()}, self.ema_best
+            )
+            if flag and not tcfg.eval_only:
+                # EMA-best checkpoint (reference model_ema_best.pt)
+                self.ckpt_ema_best.save(
+                    epoch, self.state, {"epoch": epoch, "ema_best": dict(self.ema_best)}
+                )
+        # 3. test data, with EMA when available
+        if len(self.test_idx) > 0:
+            te = self.evaluate(self.test_idx, use_ema=use_ema, ogb_name=ogb_name)
+            res.update({f"test_{k}": v for k, v in te.items()})
+        res.update(epoch=epoch, step=global_step)
+        log_line(f"eval epoch {epoch}: {res}")
+        if jax.process_index() == 0:
+            self.results.log(res)
+        # prediction dumps per split (ft_eval.save_pred)
+        if tcfg.save_pred and jax.process_index() == 0:
+            out = tcfg.output_dir
+            self.dump_predictions(
+                self.train_idx[: tcfg.k_samplers], os.path.join(out, "train_results.csv")
+            )
+            self.dump_predictions(self.valid_idx, os.path.join(out, "valid_results.csv"))
+            if len(self.test_idx) > 0:
+                self.dump_predictions(
+                    self.test_idx, os.path.join(out, "test_results.csv"), use_ema=use_ema
+                )
+        # 7. infer logits/hidden states of test data
+        if tcfg.dump_infer and len(self.test_idx) > 0:
+            self.infer_hidden_states(
+                self.test_idx,
+                os.path.join(tcfg.output_dir, f"hidden_states_epoch{epoch}.npz"),
+            )
+        key = next((k for k in res if str(k).startswith("valid_")), None)
+        if key and metrics_mod.is_better(res, self.best, key):
+            self.best = dict(res)
+        return res
+
+    def run_eval_only(self):
+        """eval_only flow (reference finetune_mode.py:421-432 +
+        update_cfg_with_saved_cfg_yaml): iterate saved `epoch_{i}`
+        checkpoints, restoring each and running the full eval surface."""
+        tcfg = self.cfg.training
+        src = tcfg.pretrain_cpt or tcfg.output_dir
+        ckpt = Checkpointer(os.path.join(src, "ckpt"))
+        steps = ckpt.all_steps()
+        with self.mesh:
+            for ep in steps:
+                try:
+                    state, _meta = ckpt.restore(self.state, step=ep)
+                except Exception as e:  # missing/corrupt epoch dirs are skipped
+                    log_line(f"ckpt epoch_{ep} restore failed ({e}); skip")
+                    continue
+                self.state = state
+                self._epoch_eval(ep, global_step=0)
+        return self.best
+
     def run(self):
         tcfg = self.cfg.training
+        if tcfg.eval_only:
+            return self.run_eval_only()
         rng = mesh_lib.replicate(self.mesh, jax.random.PRNGKey(tcfg.seed))
         global_step = 0
         with self.mesh:
@@ -262,21 +346,12 @@ class FinetunePipeline:
                             f"epoch {epoch} step {global_step} loss {m['loss']:.4f}"
                         )
                         self.logger.log(m)
+                # 0. per-epoch checkpoint (reference save_ckp at epoch end)
+                self.ckpt.save(epoch, self.state, {"epoch": epoch})
                 if (epoch + 1) % tcfg.epoch_per_eval == 0:
-                    res = self.evaluate(self.valid_idx[: 4096])
-                    res = {f"valid_{k}": v for k, v in res.items()}
-                    if self.cfg.training.optimizer.use_ema:
-                        res.update(
-                            {f"valid_ema_{k}": v for k, v in self.evaluate(self.valid_idx[:4096], use_ema=True).items()}
-                        )
-                    res.update(epoch=epoch, step=global_step)
-                    log_line(f"eval epoch {epoch}: {res}")
-                    self.results.log(res)
-                    key = next((k for k in res if k.startswith("valid_")), None)
-                    if key and metrics_mod.is_better(res, self.best, key):
-                        self.best = dict(res)
-                        self.ckpt.save(epoch, self.state, {"epoch": epoch, "best": True})
+                    self._epoch_eval(epoch, global_step)
         self.ckpt.wait()
+        self.ckpt_ema_best.wait()
         return self.best
 
 

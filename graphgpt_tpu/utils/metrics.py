@@ -141,3 +141,23 @@ def is_better(new: Dict[str, float], best: Dict[str, float], key: str) -> bool:
         return True
     hb = _HIGHER_BETTER.get(key.split("@")[0], True)
     return (new[key] > best[key]) if hb else (new[key] < best[key])
+
+
+def compare_metrics_res(curr: Dict[str, float], prev_best: Dict[str, float]):
+    """EMA-best comparison with the reference's key-selection rule
+    (metrics_utils.py:192-208): a single-key dict compares on that key;
+    otherwise the unique key containing 'ema' is used. Direction is
+    lower-better when the key mentions mae/loss/mse, else higher-better.
+    Returns (improved_flag, best_res)."""
+    if not curr:
+        return False, prev_best
+    if len(curr) == 1:
+        key = next(iter(curr))
+    else:
+        ema_keys = [k for k in curr if "ema" in k.lower()]
+        key = ema_keys[0] if len(ema_keys) == 1 else sorted(curr)[0]
+    if not prev_best or key not in prev_best:
+        return True, dict(curr)
+    lower_better = any(tok in key.lower() for tok in ("mae", "loss", "mse"))
+    improved = curr[key] < prev_best[key] if lower_better else curr[key] > prev_best[key]
+    return (True, dict(curr)) if improved else (False, prev_best)

@@ -158,3 +158,111 @@ def test_continuous_node_attrs():
     toks = s.input_ids.tolist()
     assert vm["prot#node#0#1"] in toks  # identifier
     assert vm["<5>"] in toks and vm["<.>"] in toks
+
+
+def test_flat_cl_task_appends_gsum():
+    """pretrain-cl = flat SMTP masking + trailing <gsum> with padded label
+    (reference _add_gsum_tokens_for_cl, tokenizer_utils.py:366-387)."""
+    tok, vm = make(task="pretrain-cl")
+    ds = SyntheticMolDataset(4, seed=7)
+    s = tok(ds[0], np.random.default_rng(0))
+    assert s.input_ids[-1] == tok.gsum_id
+    assert s.labels[-1] == LABEL_PAD_ID
+    sel = s.labels != LABEL_PAD_ID
+    assert sel.sum() > 0
+    assert (s.input_ids[sel] == tok.mask_id).all()
+
+
+def test_flat_edge_task_appends_src_dst():
+    """edge task extends the flat stream with the two seed nodes' idx tokens
+    (reference prepare_inputs_for_edge_lvl_task flat path)."""
+    tok, vm = make(task="edge")
+    ds = SyntheticMolDataset(4, seed=8)
+    g = ds[0]
+    g.root_n_id = np.asarray([0, 1])
+    g.y = np.asarray([1.0])
+    s = tok(g, np.random.default_rng(0))
+    assert s.edge_labels.tolist() == [1.0]
+    low = set(tok.low_ids.tolist())
+    # eos separator followed by two structural idx tokens
+    tail = s.input_ids[-3:].tolist()
+    assert tail[0] == tok.eos_id
+    assert set(tail[1:]) <= low
+    # the appended pair is exactly the roots' idx tokens (replay the walk
+    # with an identically-seeded rng to recover the expected mapping), and
+    # the src/dst order is shuffled across seeds
+    flips = set()
+    for seed in range(8):
+        s2 = tok(g, np.random.default_rng(seed))
+        _, walk, _, ranks = tok.tokenize_ids(g, np.random.default_rng(seed))
+        exp = [
+            tok._idx_tokens(ranks[int(np.flatnonzero(walk == r)[0])])[-1]
+            for r in (0, 1)
+        ]
+        got = s2.input_ids[-2:].tolist()
+        assert sorted(got) == sorted(exp)
+        flips.add(got == exp)
+    assert flips == {True, False}  # both orders occur
+
+
+def test_flat_nodev2_labels_once_per_node():
+    tok, vm = make(task="nodev2")
+    ds = SyntheticMolDataset(4, seed=9)
+    g = ds[0]
+    g.y = np.arange(g.num_nodes, dtype=np.int64).reshape(-1, 1) % 3
+    s = tok(g, np.random.default_rng(0))
+    lab = s.extras["nodev2_labels"]
+    raw = s.extras["raw_node_idx"]
+    sel = lab != LABEL_PAD_ID
+    # every node supervised exactly once, on one of its idx-token positions
+    assert sel.sum() == g.num_nodes
+    assert sorted(raw[sel].tolist()) == list(range(g.num_nodes))
+    low = set(tok.low_ids.tolist()) | set(tok.high_ids.tolist())
+    assert set(s.input_ids[sel].tolist()) <= low
+    for p, node in zip(np.flatnonzero(sel), raw[sel]):
+        assert lab[p] == g.y[node, 0]
+
+
+def test_flat_nodev2_intra_cls_tokens():
+    cfg_tok, vm = make(task="nodev2")
+    from graphgpt_tpu.data.gst_tokenizer import GSTTokenizer
+
+    tok = GSTTokenizer(cfg_tok.cfg, vm, task_type="nodev2", num_intra_cls=3)
+    ds = SyntheticMolDataset(4, seed=10)
+    g = ds[0]
+    g.y = np.zeros((g.num_nodes, 1), np.int64)
+    s = tok(g, np.random.default_rng(0))
+    assert s.extras["cls_idx"].tolist() == [len(s.input_ids) - 3]
+    assert set(s.input_ids[-3:].tolist()) == set(tok.intra_cls_token_ids)
+    assert len(s.extras["nodev2_labels"]) == len(s.input_ids)
+
+
+def test_flat_pretrain_euler_gating():
+    """Supervision opens after two consecutive padded labels and closes at
+    eos (reference tokenizer_utils.py:478-500)."""
+    tok, vm = make(task="pretrain-euler")
+    # direct unit check of the gate
+    E, P = tok.eos_id, LABEL_PAD_ID
+    labels = [5, 6, P, P, 7, 8, E, 9, 10]
+    out = tok.euler_gate_labels(labels)
+    #               idx: 0  1  2  3  4  5  6  7  8
+    # flag turns on at i=4 (labels[2]==labels[3]==P), off at i=7 (labels[6]==E)
+    assert out == [P, P, P, P, 7, 8, E, P, P]
+    # end-to-end: the deployment recipe pads <eos> labels, so the main
+    # stream's trailing eos-label plus the instruction prompt's skipped
+    # label form the double-<label_pad> marker and only the instruction
+    # answer digits are supervised
+    tok.cfg.label_tokens_to_pad = (tok.cfg.structure.node.eos_token,)
+    tok.cfg.semantics.instruct_funcs = ("homo_lumo",)
+    tok2 = GSTTokenizer(tok.cfg, vm, task_type="pretrain-euler")
+    ds = SyntheticMolDataset(4, seed=11)
+    s = tok2(ds[0], np.random.default_rng(0))
+    sup = s.labels != LABEL_PAD_ID
+    assert sup.sum() > 0
+    # every supervised label is an instruction digit; nothing in the euler
+    # prefix is supervised
+    digit_ids = set(tok2.digit_ids.values())
+    assert set(s.labels[sup].tolist()) <= digit_ids
+    # the prefix (everything before the first pad) carries no supervision
+    first_pad = int(np.flatnonzero(s.labels == LABEL_PAD_ID)[0])
+    assert np.flatnonzero(sup)[0] > first_pad

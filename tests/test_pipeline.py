@@ -71,6 +71,69 @@ def test_finetune_warmstart(pretrain_dir, tmp_path):
     assert os.path.exists(os.path.join(cfg.training.output_dir, "result.csv"))
 
 
+def test_finetune_eval_parity_surface(pretrain_dir, tmp_path):
+    """Per-epoch ckpt + train-subset/valid/EMA-valid/test-EMA metrics +
+    ema_best checkpoint + eval_only ckpt sweep (reference
+    finetune_mode.py:363-458, log_eval_dump_utils.py:649-799)."""
+    import csv
+
+    from graphgpt_tpu.training.finetune import FinetunePipeline
+
+    cfg = _base_cfg(tmp_path, task="graph")
+    cfg.model.problem_type = "regression"
+    cfg.model.loss_type = "l1"
+    cfg.model.num_labels = 1
+    cfg.training.schedule.epochs = 2
+    cfg.training.valid_percent = 0.1
+    cfg.training.optimizer.use_ema = True
+    cfg.training.k_samplers = 16
+    cfg.training.save_pred = True
+    cfg.training.dump_infer = True
+    pipe = FinetunePipeline(cfg)
+    pipe.setup()
+    pipe.dataset.size = 96
+    pipe.train_idx = pipe.train_idx[pipe.train_idx < 96][:48]
+    pipe.valid_idx = pipe.valid_idx[pipe.valid_idx < 96][:16]
+    pipe.test_idx = pipe.valid_idx
+    best = pipe.run()
+    out = cfg.training.output_dir
+    # one ckpt per epoch, an ema-best dir, and the eval csv surface
+    assert len(os.listdir(os.path.join(out, "ckpt"))) >= 2
+    assert os.listdir(os.path.join(out, "ckpt_ema_best"))
+    with open(os.path.join(out, "result.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 2  # one eval row per epoch
+    for col in ("train_mae", "valid_mae", "valid_ema_mae", "test_mae"):
+        assert col in rows[0], rows[0].keys()
+        assert np.isfinite(float(rows[0][col]))
+    # prediction dumps per split + hidden-state dump
+    for fn in ("train_results.csv", "valid_results.csv", "test_results.csv"):
+        assert os.path.exists(os.path.join(out, fn)), fn
+    assert any(f.startswith("hidden_states_epoch") for f in os.listdir(out))
+    assert pipe.ema_best  # EMA-best tracked with reference key semantics
+
+    # --- eval_only: sweep the saved epoch ckpts without training
+    cfg2 = _base_cfg(tmp_path, task="graph")
+    cfg2.model.problem_type = "regression"
+    cfg2.model.loss_type = "l1"
+    cfg2.model.num_labels = 1
+    cfg2.training.eval_only = True
+    cfg2.training.optimizer.use_ema = True  # state template must match saved
+    cfg2.training.k_samplers = 0
+    cfg2.training.pretrain_cpt = out
+    cfg2.training.output_dir = str(tmp_path / "eval_only")
+    pipe2 = FinetunePipeline(cfg2)
+    pipe2.setup()
+    pipe2.dataset.size = 96
+    pipe2.valid_idx = pipe.valid_idx
+    pipe2.test_idx = np.asarray([], dtype=np.int64)
+    pipe2.run()
+    with open(os.path.join(cfg2.training.output_dir, "result.csv")) as f:
+        rows2 = list(csv.DictReader(f))
+    assert len(rows2) == 2  # one row per swept epoch ckpt
+    assert sorted(int(float(r["epoch"])) for r in rows2) == [0, 1]
+
+
 def test_finetune_freeze_embeddings(pretrain_dir, tmp_path):
     from graphgpt_tpu.training.finetune import FinetunePipeline
 
