@@ -152,6 +152,12 @@ class EgoNodeDataset:
             root_n_id=np.asarray([root]),
             idx=int(i),
         )
+        # node-aligned side arrays (e.g. ogbn-proteins node_species) ride
+        # along into the subgraph (reference slices every node-sized tensor,
+        # dataset_map.py:252-258)
+        for key, arr in self.big.extra.items():
+            if hasattr(arr, "shape") and arr.shape[:1] == (self.big.num_nodes,):
+                g.extra[key] = arr[nodes]
         if (not self.pretrain_mode) and self.root_attr_mask is not None and g.node_attr is not None:
             g.node_attr[root] = g.node_attr[root] * self.root_attr_mask
         if self.task_mask_func is not None:
@@ -163,20 +169,27 @@ class EgoNodeDataset:
 # Negative sampling (edge level)
 # ---------------------------------------------------------------------------
 def sample_pos_edges(
-    pos_edges: np.ndarray, percent: int, epoch: int, seed: int
-) -> np.ndarray:
+    pos_edges: np.ndarray,
+    percent: int,
+    epoch: int,
+    seed: int,
+    pos_edge_attr: Optional[np.ndarray] = None,
+):
     """Cyclic non-repeating positive subsets: with percent=p, epochs
     [0, 100/p) partition one permutation; the seed advances every cycle
-    (reference sample_pos_edges, dataset_map.py:567-597)."""
+    (reference sample_pos_edges, dataset_map.py:567-597). Target edge
+    attrs (e.g. wikikg2 relations) are subset alongside."""
     if percent >= 100:
-        return pos_edges
+        return pos_edges, pos_edge_attr
     tot = pos_edges.shape[0]
     period = int(round(100 / percent))
     cyc_seed = seed + percent * epoch // 100
     perm = np.random.default_rng(cyc_seed).permutation(tot)
     cnt = int(round(tot * percent / 100.0))
     cyc_epoch = epoch % period
-    return pos_edges[perm[cyc_epoch * cnt : (cyc_epoch + 1) * cnt]]
+    sel = perm[cyc_epoch * cnt : (cyc_epoch + 1) * cnt]
+    attr = None if pos_edge_attr is None else pos_edge_attr[sel]
+    return pos_edges[sel], attr
 
 
 def sample_neg_edges_global(
@@ -219,20 +232,37 @@ def sample_neg_edges_local(
     rng: np.random.Generator,
     sample_heads: bool = True,
     sample_tails: bool = True,
-) -> np.ndarray:
-    """Head/tail replacement negatives (reference sample_neg_edges_locally,
-    dataset_map.py:648-683)."""
+    sample_edges: bool = False,
+    pos_edge_attr: Optional[np.ndarray] = None,
+    neg_edge_attr_candidates: Optional[np.ndarray] = None,
+):
+    """Head / tail / edge-type replacement negatives with edge-attr
+    threading (reference sample_neg_edges_locally, dataset_map.py:626-683):
+    head/tail corruption keeps the positive's edge attrs (e.g. the wikikg2
+    relation); edge corruption keeps the endpoints and swaps the attrs for
+    a random candidate row."""
     cands = []
+    attrs = []
+    has_attr = pos_edge_attr is not None
     if sample_tails:
         tails = rng.integers(0, num_nodes, pos_edges.shape[0])
         cands.append(np.stack([pos_edges[:, 0], tails], axis=1))
+        if has_attr:
+            attrs.append(pos_edge_attr)
     if sample_heads:
         heads = rng.integers(0, num_nodes, pos_edges.shape[0])
         cands.append(np.stack([heads, pos_edges[:, 1]], axis=1))
+        if has_attr:
+            attrs.append(pos_edge_attr)
+    if sample_edges and has_attr and neg_edge_attr_candidates is not None:
+        cands.append(pos_edges.copy())
+        idx = rng.integers(0, len(neg_edge_attr_candidates), pos_edges.shape[0])
+        attrs.append(np.asarray(neg_edge_attr_candidates)[idx])
     all_c = np.concatenate(cands, axis=0)
     want = neg_ratio * pos_edges.shape[0]
     sel = rng.permutation(all_c.shape[0])[:want]
-    return all_c[sel]
+    neg_attr = np.concatenate(attrs, axis=0)[sel] if attrs else None
+    return all_c[sel], neg_attr
 
 
 class EgoEdgeDataset:
@@ -251,6 +281,12 @@ class EgoEdgeDataset:
         replace: bool = False,
         seed: int = 0,
         pretrain_mode: bool = False,
+        pos_edge_attr: Optional[np.ndarray] = None,  # [N_p, De] target edge attrs
+        neg_edge_attr: Optional[np.ndarray] = None,  # attrs of fixed eval negatives
+        neg_edge_attr_candidates: Optional[np.ndarray] = None,  # [C, De]
+        sample_edges: bool = False,  # local method: also corrupt the relation
+        sample_wgt: bool = False,  # wikikg2 inverse-freq weights
+        relation_col: int = 1,  # edge-attr column holding the relation id
     ):
         self.big = big
         self.depth_neighbors = list(depth_neighbors)
@@ -260,12 +296,42 @@ class EgoEdgeDataset:
         self.replace = replace
         self.seed = seed
         self.pretrain_mode = pretrain_mode
+        self.sample_edges = sample_edges
+        self.relation_col = relation_col
         if pos_edges is None:
             ei = big.edge_index
             mask = ei[0] < ei[1]
             pos_edges = ei[:, mask].T.astype(np.int64)
         self.pos_edges_all = np.asarray(pos_edges, np.int64)
+        self.pos_edge_attr_all = (
+            None if pos_edge_attr is None else np.asarray(pos_edge_attr, np.int64)
+        )
         self.fixed_neg = None if neg_edges is None else np.asarray(neg_edges, np.int64)
+        self.fixed_neg_attr = (
+            None if neg_edge_attr is None else np.asarray(neg_edge_attr, np.int64)
+        )
+        self.neg_edge_attr_candidates = (
+            None
+            if neg_edge_attr_candidates is None
+            else np.asarray(neg_edge_attr_candidates, np.int64)
+        )
+        # wikikg2 inverse-frequency sample weights (reference dataset_map.py:
+        # 369-388): count(head, rel) and count(tail, -rel-1) over the FULL
+        # train triple set, base count 4; per-sample weight computed at each
+        # reset as sqrt(1 / (cnt_head + cnt_tail)) (dataset_map.py:451-469).
+        self.train_count: Optional[Dict] = None
+        if sample_wgt and not pretrain_mode and self.pos_edge_attr_all is not None:
+            rel = self.pos_edge_attr_all[:, relation_col]
+            h, t = self.pos_edges_all[:, 0], self.pos_edges_all[:, 1]
+            hk = np.stack([h, rel], axis=1)
+            tk = np.stack([t, -rel - 1], axis=1)
+            keys, counts = np.unique(
+                np.concatenate([hk, tk], axis=0), axis=0, return_counts=True
+            )
+            self.train_count = {
+                (int(a), int(b)): 4 + int(c) for (a, b), c in zip(keys, counts)
+            }
+        self.wgt: Optional[np.ndarray] = None
         self._indptr, self._indices, _ = build_csr_directed(
             big.num_nodes, big.edge_index
         )
@@ -274,17 +340,26 @@ class EgoEdgeDataset:
 
     def reset_samples(self, epoch: int, seed: int = 42):
         self.epoch = epoch
-        pos = sample_pos_edges(self.pos_edges_all, self.percent, epoch, seed)
+        pos, pos_attr = sample_pos_edges(
+            self.pos_edges_all, self.percent, epoch, seed, self.pos_edge_attr_all
+        )
         rng = np.random.default_rng((seed, epoch, 7))
         neg_group = None  # per-negative: index of its positive (MRR grouping)
+        neg_attr = None
         if self.fixed_neg is not None:
             neg = self.fixed_neg
+            neg_attr = self.fixed_neg_attr
             if neg.ndim == 3:
                 # structured negatives [N_pos, K, 2]: each row belongs to a
                 # positive (ogbl-citation2/wikikg2 eval; ogb_utils.py:155-170)
                 n_pos, k, _ = neg.shape
                 neg_group = np.repeat(np.arange(n_pos), k)
                 neg = neg.reshape(-1, 2)
+                if neg_attr is None and pos_attr is not None:
+                    # eval negatives inherit their positive's relation
+                    # (reference _get_reformatted_data_of_wikikg2,
+                    # edge_formatting.py:54-83)
+                    neg_attr = np.repeat(pos_attr, k, axis=0)
         elif self.method == "global":
             neg = sample_neg_edges_global(
                 self.big.num_nodes,
@@ -292,9 +367,18 @@ class EgoEdgeDataset:
                 self.neg_ratio * pos.shape[0],
                 rng,
             )
+            if self.neg_edge_attr_candidates is not None:
+                idx = rng.integers(0, len(self.neg_edge_attr_candidates), neg.shape[0])
+                neg_attr = self.neg_edge_attr_candidates[idx]
         else:
-            neg = sample_neg_edges_local(
-                pos, self.big.num_nodes, self.neg_ratio, rng
+            neg, neg_attr = sample_neg_edges_local(
+                pos,
+                self.big.num_nodes,
+                self.neg_ratio,
+                rng,
+                sample_edges=self.sample_edges,
+                pos_edge_attr=pos_attr,
+                neg_edge_attr_candidates=self.neg_edge_attr_candidates,
             )
         y = np.concatenate(
             [np.ones(pos.shape[0], np.int64), np.zeros(neg.shape[0], np.int64)]
@@ -302,6 +386,26 @@ class EgoEdgeDataset:
         self.edges_with_y = np.concatenate(
             [np.concatenate([pos, neg], axis=0), y[:, None]], axis=1
         )
+        # [N_p + N_e, De] target edge attrs (reference all_edge_attr)
+        if pos_attr is not None and neg_attr is not None:
+            self.all_edge_attr = np.concatenate([pos_attr, neg_attr], axis=0)
+            assert self.all_edge_attr.shape[0] == self.edges_with_y.shape[0]
+        else:
+            self.all_edge_attr = None
+        # inverse-freq weights per sample (reference dataset_map.py:451-469)
+        if self.train_count is not None and self.all_edge_attr is not None:
+            tc = self.train_count
+            rel = self.all_edge_attr[:, self.relation_col]
+            h, t = self.edges_with_y[:, 0], self.edges_with_y[:, 1]
+            sums = np.fromiter(
+                (
+                    tc.get((int(hh), int(rr)), 4) + tc.get((int(tt), int(-rr - 1)), 4)
+                    for hh, tt, rr in zip(h, t, rel)
+                ),
+                np.float64,
+                len(h),
+            )
+            self.wgt = np.sqrt(1.0 / sums).astype(np.float32)
         # grouping key per sample: positives map to themselves
         if neg_group is not None:
             self.group_idx = np.concatenate([np.arange(pos.shape[0]), neg_group])
@@ -340,4 +444,10 @@ class EgoEdgeDataset:
         )
         if self.group_idx is not None:
             g.extra["eval_group"] = np.asarray([self.group_idx[i]], np.int64)
+        if self.all_edge_attr is not None:
+            # target edge attrs (e.g. the wikikg2 relation) for the tokenizer
+            # to inject into the appended dst row (dataset_map.py:548-550)
+            g.tgt_edge_attr = self.all_edge_attr[i]
+        if self.wgt is not None:
+            g.wgt = float(self.wgt[i])
         return g

@@ -206,13 +206,18 @@ class StackedGSTTokenizer:
             out.append(int(self.node_idx_ids[ranks[pos[0]]]))
         return out
 
-    def _row_for_node_token(self, ids: np.ndarray, tok_id: int) -> np.ndarray:
+    def _row_for_node_token(
+        self, ids: np.ndarray, tok_id: int, edge_attr_ids=None
+    ) -> np.ndarray:
         """Full stacked row whose structural slot equals tok_id, with default
-        edge-attrs substituted (reference tokenizer_utils.py:591-611)."""
+        (or target, e.g. the wikikg2 relation) edge-attr tokens substituted
+        (reference tokenizer_utils.py:591-611)."""
         pos = np.flatnonzero(ids[:, 0] == tok_id)
         row = ids[pos[0]].copy()
         if self.edge_dim:
-            row[-self.edge_dim :] = self.edge_lookup.default_ids
+            row[-self.edge_dim :] = (
+                self.edge_lookup.default_ids if edge_attr_ids is None else edge_attr_ids
+            )
         return row
 
     def _coord_extras(self, graph: Graph, walk: np.ndarray, p: int, rng) -> dict:
@@ -299,13 +304,27 @@ class StackedGSTTokenizer:
                 segment_lengths=[p],
             )
         if task == "edge":
-            # append src/dst stacked rows (shuffled) after eos
-            # (reference prepare_inputs_for_edge_lvl_task, tokenizer_utils.py:570-633)
+            # append src/dst stacked rows after eos; shuffled ONLY when the
+            # edge is undirected (no target attrs) — a relation edge (wikikg2)
+            # keeps src,dst order and carries its relation tokens on the dst
+            # row (reference prepare_inputs_for_edge_lvl_task,
+            # tokenizer_utils.py:570-633)
             tgt = self.target_token_ids(graph, walk, ranks)
             assert tgt is not None and len(tgt) == 2
-            if rng.random() < 0.5:
+            tgt_edge_attr = graph.tgt_edge_attr
+            dst_attr_ids = None
+            if tgt_edge_attr is not None and self.edge_dim:
+                dst_attr_ids = self.edge_lookup(
+                    np.asarray(tgt_edge_attr).reshape(1, -1)
+                )[0]
+            elif rng.random() < 0.5:
                 tgt = tgt[::-1]
-            rows = np.stack([self._row_for_node_token(ids, t) for t in tgt])
+            rows = np.stack(
+                [
+                    self._row_for_node_token(ids, tgt[0]),
+                    self._row_for_node_token(ids, tgt[1], dst_attr_ids),
+                ]
+            )
             ids2 = np.concatenate([ids, rows], axis=0)
             p2 = ids2.shape[0]
             labels = np.full_like(ids2, LABEL_PAD_ID)

@@ -251,7 +251,15 @@ def _read_structure_er(cfg, size: int = 20000, **kw):
     return _ER(size, cfg.training.seed)
 
 
-def _edge_level_reader(name: str, default_depth_neighbors=((1, 14),), neg_ratio=1, percent=100):
+def _edge_level_reader(
+    name: str,
+    default_depth_neighbors=((1, 14),),
+    neg_ratio=1,
+    percent=100,
+    relations: bool = False,
+    sample_wgt: bool = False,
+    method: str = "global",
+):
     @_readers(name)
     def _read(cfg, data_split: str = "train", pretrain_mode: bool = False, **kw):
         path = os.path.join(cfg.tokenization.data_dir, name, "big_graph.npz")
@@ -263,6 +271,14 @@ def _edge_level_reader(name: str, default_depth_neighbors=((1, 14),), neg_ratio=
         pos = data[pos_key].astype(np.int64) if pos_key in data else None
         neg_key = f"{data_split}_edge_neg"
         neg = data[neg_key].astype(np.int64) if neg_key in data else None
+        pos_attr = neg_cands = None
+        if relations and f"{data_split}_relation" in data:
+            # wikikg2 relation -> target edge attrs [ones, rel] and the
+            # unique-relation candidate table (reference edge_level.py:241-262)
+            rel = data[f"{data_split}_relation"].astype(np.int64)
+            pos_attr = np.stack([np.ones_like(rel), rel], axis=1)
+            uniq = np.unique(rel)
+            neg_cands = np.stack([np.ones_like(uniq), uniq], axis=1)
         return EgoEdgeDataset(
             big,
             depth_neighbors=default_depth_neighbors,
@@ -270,8 +286,12 @@ def _edge_level_reader(name: str, default_depth_neighbors=((1, 14),), neg_ratio=
             neg_edges=neg,
             neg_ratio=neg_ratio,
             percent=percent if data_split == "train" else 100,
+            method=method,
             seed=cfg.training.seed,
             pretrain_mode=pretrain_mode,
+            pos_edge_attr=pos_attr,
+            neg_edge_attr_candidates=neg_cands,
+            sample_wgt=sample_wgt and data_split == "train",
         )
 
     return _read
@@ -281,10 +301,37 @@ def _edge_level_reader(name: str, default_depth_neighbors=((1, 14),), neg_ratio=
 _edge_level_reader("ogbl-ppa", ((1, 14),), neg_ratio=1, percent=50)
 _edge_level_reader("ogbl-citation2", ((1, 14),), neg_ratio=1, percent=100)
 _edge_level_reader("ogbl-ddi", ((1, 32),), neg_ratio=1, percent=100)
-_edge_level_reader("ogbl-wikikg2", ((1, 8),), neg_ratio=1, percent=100)
+# wikikg2: relation edge-attrs + inverse-freq sample weights + local
+# head/tail-corruption negatives (reference edge_level.py:210-300,
+# dataset_map.py:369-388)
+_edge_level_reader(
+    "ogbl-wikikg2", ((1, 8),), neg_ratio=1, percent=100,
+    relations=True, sample_wgt=True, method="local",
+)
 
 
-def _node_level_reader(name: str, depth_neighbors=((2, 10),)):
+def _make_species_mask_func(name: str):
+    """ogbn-proteins species-masking closure (reference _mask_species,
+    node_level.py:302-309): zero every node-attr column beyond the two
+    global/local id columns for nodes sharing the TARGET node's species,
+    preventing label leakage through label-as-feature columns."""
+
+    def _mask_species(g):
+        species = g.extra.get("node_species")
+        if species is None or g.node_attr is None or g.node_attr.shape[1] <= 2:
+            return g
+        root = int(np.asarray(g.root_n_id).reshape(-1)[0])
+        tgt = species.reshape(-1)[root]
+        keep = (species.reshape(-1) != tgt).astype(g.node_attr.dtype)  # [N]
+        mask = np.repeat(keep[:, None], g.node_attr.shape[1], axis=1)
+        mask[:, :2] = 1
+        g.node_attr = g.node_attr * mask
+        return g
+
+    return _mask_species
+
+
+def _node_level_reader(name: str, depth_neighbors=((2, 10),), species_mask=False):
     @_readers(name)
     def _read(cfg, data_split: str = "train", pretrain_mode: bool = False, **kw):
         path = os.path.join(cfg.tokenization.data_dir, name, "big_graph.npz")
@@ -297,12 +344,22 @@ def _node_level_reader(name: str, depth_neighbors=((2, 10),)):
             if f"{data_split}_idx" in data
             else None
         )
+        task_mask_func = None
+        if species_mask and "node_species" in data:
+            big.extra["node_species"] = data["node_species"].astype(np.int64)
+            task_mask_func = _make_species_mask_func(name)
+        # root x_mask: multiply the seed node's attrs during fine-tuning to
+        # hide label-as-feature columns (reference dataset_map.py:253-258,
+        # x_mask from _mask_concat_node_label_as_feat)
+        root_attr_mask = data["x_mask"].astype(np.int64) if "x_mask" in data else None
         node_ds = EgoNodeDataset(
             big,
             depth_neighbors=depth_neighbors,
             sample_idx=split_idx,
             seed=cfg.training.seed,
             pretrain_mode=pretrain_mode,
+            task_mask_func=task_mask_func,
+            root_attr_mask=root_attr_mask,
         )
         if pretrain_mode:
             # pretraining on big graphs ensembles node-ego with random-edge
@@ -317,5 +374,6 @@ def _node_level_reader(name: str, depth_neighbors=((2, 10),)):
     return _read
 
 
-for _name in ("ogbn-products", "ogbn-arxiv", "ogbn-proteins", "ogbn-papers100M"):
+for _name in ("ogbn-products", "ogbn-arxiv", "ogbn-papers100M"):
     _node_level_reader(_name)
+_node_level_reader("ogbn-proteins", species_mask=True)

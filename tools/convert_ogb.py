@@ -144,12 +144,19 @@ def convert_node_level(name: str, out_dir: str):
     }
     if name == "ogbn-proteins":
         species = data.node_species.numpy().reshape(-1)
-        uniq, local = np.unique(species, return_inverse=True)
-        payload["node_attr"] = np.stack(
-            [np.arange(len(species)), local], axis=1
-        ).astype(np.int32)
-        # continuous edge attrs quantised x1000 (node_level.py:292)
-        payload["edge_attr"] = (data.edge_attr.numpy() * 1000).astype(np.int32)
+        # x = [species value (global id), 1-based running count within the
+        # species (local id)] (reference _get_global_local_id_from_enumerate,
+        # node_encoding.py:24-42)
+        uniq, inv = np.unique(species, return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        sorted_inv = inv[order]
+        group_starts = np.searchsorted(sorted_inv, np.arange(len(uniq)))
+        local = np.empty(len(inv), np.int64)
+        local[order] = np.arange(len(inv)) - group_starts[sorted_inv] + 1
+        payload["node_attr"] = np.stack([species, local], axis=1).astype(np.int32)
+        payload["node_species"] = species.astype(np.int64)
+        # continuous edge attrs quantised x1000 - 1 (node_level.py:292)
+        payload["edge_attr"] = (data.edge_attr.numpy() * 1000 - 1).astype(np.int32)
     elif data.x is not None:
         payload["node_attr"] = data.x.numpy().astype(np.int32)
     for k in ("train", "valid", "test"):
