@@ -103,12 +103,26 @@ def _eval_molpcba(input_dict: Dict) -> Dict[str, float]:
 
 
 def _average_precision(scores, labels) -> float:
+    """sklearn.metrics.average_precision_score semantics (the official
+    ogb.graphproppred `_eval_ap` defers to sklearn): thresholds are the
+    unique score values descending, AP = sum((R_i - R_{i-1}) * P_i), so
+    tied scores share one precision/recall point."""
+    scores = np.asarray(scores, np.float64)
+    y = np.asarray(labels, np.float64) > 0.5
     order = np.argsort(-scores, kind="mergesort")
-    y = labels[order] > 0.5
-    tp = np.cumsum(y)
-    precision = tp / np.arange(1, len(y) + 1)
+    scores, y = scores[order], y[order]
+    # indices where the score strictly drops: threshold boundaries
+    distinct = np.flatnonzero(np.diff(scores)) if len(scores) > 1 else np.array([], int)
+    bounds = np.concatenate([distinct, [len(scores) - 1]])
+    tp = np.cumsum(y)[bounds]
+    fp = (bounds + 1) - tp
     n_pos = y.sum()
-    return float((precision * y).sum() / max(n_pos, 1))
+    if n_pos == 0:
+        return 0.0
+    precision = tp / (tp + fp)
+    recall = tp / n_pos
+    d_recall = np.diff(np.concatenate([[0.0], recall]))
+    return float((d_recall * precision).sum())
 
 
 def reformat_hits_inputs(scores: np.ndarray, labels: np.ndarray) -> Dict:
