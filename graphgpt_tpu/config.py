@@ -340,6 +340,10 @@ class TrainingConfig:
     k_samplers: int = 256  # train-subset eval size (ft_eval.k_samplers)
     save_pred: bool = False  # dump per-split prediction csv at each eval
     dump_infer: bool = False  # dump test logits + pooled hidden states
+    # north-star distributed input (SURVEY.md §2.2): edge-partition the
+    # big-graph corpus per host with background halo feature all-to-all
+    dataset_partitioned: bool = False
+    halo_hops: int = 1
 
 
 # ---------------------------------------------------------------------------

@@ -203,12 +203,21 @@ def backbone_apply(
     layer_idx = jnp.arange(n_layers)
     use_ls = "ls1" in params["layers"]
 
+    # static gating: with every stochastic rate at 0 (the usual pretrain
+    # setting) no per-layer rng splits, bernoullis, or [B,P,D] `where`
+    # passes are traced at all — dp_rates being a traced zeros array would
+    # otherwise keep DropPath alive through fwd+recompute+bwd
+    use_dp = train and rng is not None and cfg.path_dropout > 0
+    use_adrop = train and rng is not None and cfg.attention_dropout > 0
+    use_mdrop = train and rng is not None and cfg.mlp_dropout > 0
+    needs_rng = use_dp or use_adrop or use_mdrop
+
     def apply_one(x, lp, dp_rate, idx):
-        if rng is not None:
+        if needs_rng:
             lrng = jax.random.fold_in(rng, idx)
-            r_attn, r_mlp, r_dp1, r_dp2, r_adrop = jax.random.split(lrng, 5)
+            r_mlp, r_dp1, r_dp2, r_adrop = jax.random.split(lrng, 4)
         else:
-            r_attn = r_mlp = r_dp1 = r_dp2 = r_adrop = None
+            r_mlp = r_dp1 = r_dp2 = r_adrop = None
         # --- attention block
         hpre = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
         q = (hpre @ lp["q"].astype(dt)).reshape(b, p, h, dh)
@@ -220,20 +229,26 @@ def backbone_apply(
             bi_causal_split=cfg.bi_causal_split,
         )
         attn_out = attn_out.reshape(b, p, h * dh) @ lp["o"].astype(dt)
-        attn_out = _dropout(attn_out, cfg.attention_dropout, r_adrop, train)
+        if use_adrop:
+            attn_out = _dropout(attn_out, cfg.attention_dropout, r_adrop, train)
         if use_ls:
             attn_out = attn_out * lp["ls1"].astype(dt)
-        x = x + _drop_path(attn_out, dp_rate, r_dp1, train)
+        if use_dp:
+            attn_out = _drop_path(attn_out, dp_rate, r_dp1, train)
+        x = x + attn_out
         # --- MLP block
         hpre = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
         gate = _act(cfg.hidden_act)(hpre @ lp["gate"].astype(dt))
         up = hpre @ lp["up"].astype(dt)
         gated = checkpoint_name(gate * up, "mlp_gated")
         mlp_out = gated @ lp["down"].astype(dt)
-        mlp_out = _dropout(mlp_out, cfg.mlp_dropout, r_mlp, train)
+        if use_mdrop:
+            mlp_out = _dropout(mlp_out, cfg.mlp_dropout, r_mlp, train)
         if use_ls:
             mlp_out = mlp_out * lp["ls2"].astype(dt)
-        x = x + _drop_path(mlp_out, dp_rate, r_dp2, train)
+        if use_dp:
+            mlp_out = _drop_path(mlp_out, dp_rate, r_dp2, train)
+        x = x + mlp_out
         return x
 
     def layer_fn(carry, scanned):

@@ -84,21 +84,36 @@ class EdgePartitionedCorpus:
         for k, p in enumerate(parts):
             self.owner[p] = k
         indptr, indices, _ = build_csr_directed(big.num_nodes, big.edge_index)
+
+        def _expand(frontier: np.ndarray, in_closure: np.ndarray) -> np.ndarray:
+            """All yet-unseen neighbours of `frontier`, vectorised CSR gather
+            (no per-node Python loops — this runs at corpus scale)."""
+            counts = (indptr[frontier + 1] - indptr[frontier]).astype(np.int64)
+            total = int(counts.sum())
+            if total == 0:
+                return np.zeros(0, np.int64)
+            starts = np.repeat(indptr[frontier], counts)
+            offs = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+            nbrs = indices[starts + offs]
+            new = np.unique(nbrs[~in_closure[nbrs]])
+            in_closure[new] = True
+            return new
+
         self.shards: List[ShardGraph] = []
         for k in range(num_shards):
-            owned = parts[k]
-            closure = set(int(x) for x in owned)
-            frontier = list(closure)
+            owned = np.asarray(parts[k], np.int64)
+            in_closure = np.zeros(big.num_nodes, bool)
+            in_closure[owned] = True
+            frontier = owned
+            halo_parts = []
             for _ in range(halo_hops):
-                nxt = []
-                for node in frontier:
-                    for nb in indices[indptr[node] : indptr[node + 1]]:
-                        nb = int(nb)
-                        if nb not in closure:
-                            closure.add(nb)
-                            nxt.append(nb)
-                frontier = nxt
-            halo = np.asarray(sorted(closure - set(int(x) for x in owned)), np.int64)
+                frontier = _expand(frontier, in_closure)
+                halo_parts.append(frontier)
+            halo = (
+                np.sort(np.concatenate(halo_parts))
+                if halo_parts
+                else np.zeros(0, np.int64)
+            )
             global_nodes = np.concatenate([np.sort(owned), halo])
             lookup = np.full(big.num_nodes, -1, np.int64)
             lookup[global_nodes] = np.arange(len(global_nodes))
@@ -147,22 +162,28 @@ class EdgePartitionedCorpus:
             return
         s = self.num_shards
         feat_dim = self.big.node_attr.shape[1]
-        # build request lists: req[dst][src] = global ids dst needs from src
-        req = [[[] for _ in range(s)] for _ in range(s)]
+        # request table, fully vectorised: for each dst shard, its (sorted)
+        # halo nodes grouped by owning shard via one argsort + bincount
+        grouped: List[List[np.ndarray]] = []  # grouped[d][o] = global ids
         for shard in self.shards:
-            for g in shard.halo_nodes_global:
-                req[shard.shard_id][int(self.owner[g])].append(int(g))
-        cap = max((len(req[d][o]) for d in range(s) for o in range(s)), default=0)
+            halo = shard.halo_nodes_global
+            owners = self.owner[halo]
+            order = np.argsort(owners, kind="stable")
+            h_sorted = halo[order]
+            counts = np.bincount(owners[order], minlength=s)
+            bounds = np.concatenate([[0], np.cumsum(counts)])
+            grouped.append([h_sorted[bounds[o] : bounds[o + 1]] for o in range(s)])
+        cap = max((len(grouped[d][o]) for d in range(s) for o in range(s)), default=0)
         cap = max(cap, 1)
         # send buffer on owner o: for each dst d, the feature rows dst needs
-        send = np.zeros((s, s, cap, feat_dim), self.big.node_attr.dtype)
         send_ids = np.full((s, s, cap), -1, np.int64)
         for d in range(s):
             for o in range(s):
-                ids = req[d][o]
-                if ids:
-                    send[o, d, : len(ids)] = self.big.node_attr[ids]
-                    send_ids[o, d, : len(ids)] = ids
+                ids = grouped[d][o]
+                send_ids[o, d, : len(ids)] = ids
+        send = np.zeros((s, s, cap, feat_dim), self.big.node_attr.dtype)
+        valid = send_ids >= 0
+        send[valid] = self.big.node_attr[send_ids[valid]]
 
         if mesh is None:
             import jax
@@ -184,14 +205,17 @@ class EdgePartitionedCorpus:
             )(buf)
 
         recv = np.asarray(_exchange(jnp.asarray(send)))  # [s, s, cap, F] dst-major
-        # recv[d, o] = rows from owner o for dst d
+        # recv[d, o] = rows from owner o for dst d; scatter-back vectorised:
+        # halo block of global_nodes is sorted, so local index = num_owned +
+        # searchsorted(halo, ids) — one fancy-index assignment per (d, o)
         for d in range(s):
             shard = self.shards[d]
-            lookup = {int(g): i for i, g in enumerate(shard.global_nodes)}
+            halo_sorted = shard.halo_nodes_global
             for o in range(s):
-                ids = req[d][o]
-                for j, g in enumerate(ids):
-                    shard.node_attr[lookup[g]] = recv[d, o, j]
+                ids = grouped[d][o]
+                if len(ids):
+                    loc = shard.num_owned + np.searchsorted(halo_sorted, ids)
+                    shard.node_attr[loc] = recv[d, o, : len(ids)]
 
     def prefetch_exchange(self, mesh=None):
         """Overlap the halo exchange with host-side tokenization: returns a
@@ -201,3 +225,42 @@ class EdgePartitionedCorpus:
         )
         t.start()
         return t
+
+
+def shard_ego_node_dataset(
+    ds,
+    num_shards: int,
+    shard_id: int,
+    halo_hops: int = 1,
+    seed: int = 0,
+    mesh=None,
+):
+    """Partition an EgoNodeDataset's big graph across hosts and return this
+    host's local dataset (north-star wiring, SURVEY.md §2.2).
+
+    The halo feature exchange is kicked off in the background so it overlaps
+    with tokenizer/vocab construction; callers must `handle.join()` before
+    drawing samples (shard features are filled in place). Returns
+    (local_dataset, corpus, join_handle)."""
+    from ..data.sampling import EgoNodeDataset
+
+    corpus = EdgePartitionedCorpus(ds.big, num_shards, halo_hops=halo_hops, seed=seed)
+    handle = corpus.prefetch_exchange(mesh=mesh) if num_shards > 1 else None
+    if num_shards == 1:
+        corpus.exchange_halo_features_host()
+    shard = corpus.shards[shard_id]
+    owned_global = shard.global_nodes[: shard.num_owned]
+    lookup = np.full(ds.big.num_nodes, -1, np.int64)
+    lookup[shard.global_nodes] = np.arange(shard.num_nodes)
+    local_samples = lookup[np.intersect1d(ds.sample_idx, owned_global)]
+    local = EgoNodeDataset(
+        shard.to_graph(),
+        depth_neighbors=ds.depth_neighbors,
+        sample_idx=local_samples,
+        replace=ds.replace,
+        seed=ds.seed,
+        pretrain_mode=ds.pretrain_mode,
+        task_mask_func=ds.task_mask_func,
+        root_attr_mask=ds.root_attr_mask,
+    )
+    return local, corpus, handle

@@ -88,6 +88,25 @@ class PretrainPipeline:
         tcfg = cfg.training
         os.makedirs(tcfg.output_dir, exist_ok=True)
         self.dataset = build_dataset(cfg)
+        # north-star distributed input: edge-partition the big-graph corpus
+        # across hosts; the halo feature all-to-all runs in the background,
+        # overlapped with the vocab scan / tokenizer build below, and is
+        # joined just before training (run()).
+        self._halo_handle = None
+        if tcfg.dataset_partitioned and hasattr(self.dataset, "big"):
+            from ..parallel.dist_input import shard_ego_node_dataset
+
+            self.dataset, self._corpus, self._halo_handle = shard_ego_node_dataset(
+                self.dataset,
+                max(jax.process_count(), 1),
+                jax.process_index(),
+                halo_hops=tcfg.halo_hops,
+                seed=tcfg.seed,
+            )
+            log_line(
+                f"partitioned corpus: shard {jax.process_index()}/"
+                f"{jax.process_count()} with {self.dataset.big.num_nodes} nodes"
+            )
         self.tokenizer = build_tokenizer(cfg, self.dataset)
         # model config from tokenizer
         m = cfg.model
@@ -244,6 +263,11 @@ class PretrainPipeline:
             causal=mc.causal_attention,
         )
         peak = peak_flops_per_chip() * max(jax.device_count(), 1)
+        if self._halo_handle is not None:
+            # halo feature exchange overlapped with setup must land before
+            # the first sample touches halo features
+            self._halo_handle.join()
+            self._halo_handle = None
         global_step = self.start_step
         epoch = self.start_epoch
         with self.mesh:
