@@ -88,55 +88,64 @@ def make_unmask_sampler(
 ):
     """Build a jitted sampler.
 
-    logits_fn(x_flat [B, T]) -> [B, T, V] (caller reshapes to the model's
-    stacked [B, seq, next_n] layout inside).
+    logits_fn(x_flat [B, T], *extra) -> [B, T, V] (caller reshapes to the
+    model's stacked [B, seq, next_n] layout inside). `extra` arrays (e.g.
+    position/segment ids) are passed per call through the jitted sampler so
+    ONE compile serves every batch of the same shape.
     """
     steps = cfg.steps
     eps = cfg.eps
     alg = cfg.alg
     timesteps = jnp.linspace(1.0, eps, steps + 1)
 
-    def body(carry):
-        x, i, rng = carry
-        rng, r_samp, r_alg = jax.random.split(rng, 3)
-        mask = x == mask_token_id  # [B, T]
-        logits = logits_fn(x)
-        confidence, x0 = sample_tokens(
-            logits,
-            r_samp,
-            temperature=cfg.temperature,
-            top_p=cfg.top_p if cfg.top_p > 0 else None,
-            top_k=cfg.top_k if cfg.top_k > 0 else None,
-            margin_confidence=(alg == "topk_margin"),
-            neg_entropy=(alg == "entropy"),
-        )
-        t, s = timesteps[i], timesteps[i + 1]
-        p_transfer = jnp.where(i < steps - 1, 1.0 - s / t, 1.0)
-        if alg == "origin":
-            transfer = jax.random.uniform(r_alg, x.shape) < p_transfer
-            new_x = jnp.where(mask & transfer, x0, x)
-        else:
-            conf = jnp.where(mask, confidence, -jnp.inf)
-            if cfg.alg_temp and cfg.alg_temp > 0:
-                g = -jnp.log(-jnp.log(jax.random.uniform(r_alg, conf.shape) + 1e-9) + 1e-9)
-                conf = conf / cfg.alg_temp + g
-            num_masked = jnp.sum(mask, axis=-1)  # [B]
-            num_transfer = jnp.floor(num_masked * p_transfer).astype(jnp.int32)
-            order = jnp.argsort(-conf, axis=-1)
-            ranks = _scatter_rows(
-                order, jnp.broadcast_to(jnp.arange(x.shape[-1]), x.shape)
+    def make_body(extra):
+        def body(carry):
+            x, i, rng = carry
+            rng, r_samp, r_alg = jax.random.split(rng, 3)
+            mask = x == mask_token_id  # [B, T]
+            logits = logits_fn(x, *extra)
+            confidence, x0 = sample_tokens(
+                logits,
+                r_samp,
+                temperature=cfg.temperature,
+                top_p=cfg.top_p if cfg.top_p > 0 else None,
+                top_k=cfg.top_k if cfg.top_k > 0 else None,
+                margin_confidence=(alg == "topk_margin"),
+                neg_entropy=(alg == "entropy"),
             )
-            unmask = mask & (ranks < num_transfer[:, None])
-            new_x = jnp.where(unmask, x0, x)
-        return new_x, i + 1, rng
+            t, s = timesteps[i], timesteps[i + 1]
+            p_transfer = jnp.where(i < steps - 1, 1.0 - s / t, 1.0)
+            if alg == "origin":
+                transfer = jax.random.uniform(r_alg, x.shape) < p_transfer
+                new_x = jnp.where(mask & transfer, x0, x)
+            else:
+                conf = jnp.where(mask, confidence, -jnp.inf)
+                if cfg.alg_temp and cfg.alg_temp > 0:
+                    g = -jnp.log(
+                        -jnp.log(jax.random.uniform(r_alg, conf.shape) + 1e-9) + 1e-9
+                    )
+                    conf = conf / cfg.alg_temp + g
+                num_masked = jnp.sum(mask, axis=-1)  # [B]
+                num_transfer = jnp.floor(num_masked * p_transfer).astype(jnp.int32)
+                order = jnp.argsort(-conf, axis=-1)
+                ranks = _scatter_rows(
+                    order, jnp.broadcast_to(jnp.arange(x.shape[-1]), x.shape)
+                )
+                unmask = mask & (ranks < num_transfer[:, None])
+                new_x = jnp.where(unmask, x0, x)
+            return new_x, i + 1, rng
+
+        return body
 
     def cond(carry):
         x, i, _ = carry
         return (i < steps) & jnp.any(x == mask_token_id)
 
     @jax.jit
-    def sample(x_flat: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
-        out, _, _ = jax.lax.while_loop(cond, body, (x_flat, jnp.zeros((), jnp.int32), rng))
+    def sample(x_flat: jnp.ndarray, rng: jax.Array, *extra) -> jnp.ndarray:
+        out, _, _ = jax.lax.while_loop(
+            cond, make_body(extra), (x_flat, jnp.zeros((), jnp.int32), rng)
+        )
         return out
 
     return sample

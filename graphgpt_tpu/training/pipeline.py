@@ -372,15 +372,24 @@ class PretrainPipeline:
         log_line(f"pt hidden states {arr.shape} -> {path}")
         return arr
 
-    def evaluate_generation(self, n_samples: int = 64, n_bands: int = 10):
-        """dLLM generation eval over unmask-ratio bands (reference
-        evaluate_generation, log_eval_dump_utils.py:307-384): for each band,
-        re-mask clean valid sequences at a ratio drawn from the band,
-        iteratively unmask with the dLLM sampler, and score accuracy on the
-        masked positions."""
+    def evaluate_generation(
+        self,
+        n_samples: Optional[int] = None,
+        n_bands: int = 10,
+        batch_size: int = 0,
+    ):
+        """dLLM generation eval over unmask-ratio bands, swept over the FULL
+        validation subset (reference evaluate_generation drives a fresh
+        re-masking loader per band over every batch,
+        log_eval_dump_utils.py:307-384): every batch is re-masked at a ratio
+        drawn from each band, iteratively unmasked with the dLLM sampler,
+        and masked-position accuracy is accumulated per band across batches
+        (and across hosts). Batches are padded to a fixed length so one
+        jitted sampler serves the whole sweep."""
         import jax
         import jax.numpy as jnp
 
+        from ..data.collator import collate
         from ..generation import dllm
         from ..models import heads as heads_mod
 
@@ -392,43 +401,77 @@ class PretrainPipeline:
             self.cfg.tokenization, tok.vocab_map, task_type="pretrain",
         )
         rng_np = np.random.default_rng(0)
-        idx = (self.valid_idx if len(self.valid_idx) else self.train_idx)[:n_samples]
-        samples = [clean_tok(self.dataset[int(i)], rng_np) for i in idx]
-        from ..data.collator import collate
-
-        batch = collate(samples, mpe=self.cfg.training.max_length, bucket=8)
-        ids = np.asarray(batch["input_ids"])  # [B, P, F]
-        b, p, f = ids.shape
-        base = {
-            "position_ids": jnp.asarray(batch["position_ids"]),
-            "segment_ids": jnp.asarray(batch["segment_ids"]),
-        }
-        pad_mask = np.asarray(batch["segment_ids"]) > 0
-
-        def logits_fn(x_flat):
-            bb = dict(base)
-            bb["input_ids"] = x_flat.reshape(b, p, f)
-            logits = heads_mod.pretrain_logits(self.state.params, m, bb)
-            return logits.reshape(b, p * f, -1)
-
-        sampler = dllm.make_unmask_sampler(logits_fn, gen_cfg, tok.mask_id)
-        results = {}
+        idx = self.valid_idx if len(self.valid_idx) else self.train_idx
+        if n_samples:
+            idx = idx[:n_samples]
+        # multi-host: shard samples across processes (whole batches each)
+        pc, pi = jax.process_count(), jax.process_index()
+        bs = batch_size or min(self.cfg.training.batch_size, max(len(idx), 1))
+        if pc > 1:
+            k = max(len(idx) // (bs * pc), 1)
+            idx = idx[: k * bs * pc][pi::pc]
+        p = self.cfg.training.max_length
+        b = min(bs, len(idx))
+        sampler = None
+        correct = np.zeros(n_bands, np.int64)
+        masked_n = np.zeros(n_bands, np.int64)
         with self.mesh:
-            for band in range(n_bands):
-                lo, hi = band / n_bands, (band + 1) / n_bands
-                masked, mask = dllm.mask_at_ratio(
-                    ids, tok.mask_id, (lo, hi), rng_np
-                )
-                mask = mask & pad_mask[..., None]
-                masked = np.where(mask, tok.mask_id, ids)
-                out = sampler(
-                    jnp.asarray(masked.reshape(b, p * f)), jax.random.PRNGKey(band)
-                )
-                acc = dllm.generation_accuracy(
-                    out.reshape(b, p, f), jnp.asarray(ids), jnp.asarray(mask)
-                )
-                results[f"gen_acc@umr_{lo:.1f}-{hi:.1f}"] = float(acc["acc"])
-        log_line(f"generation eval: {results}")
+            for start in range(0, len(idx) - b + 1, b):
+                chunk = idx[start : start + b]
+                samples = [clean_tok(self.dataset[int(i)], rng_np) for i in chunk]
+                batch = collate(samples, mpe=p, bucket=8, fixed_length=p)
+                ids = np.asarray(batch["input_ids"])  # [B, P, F]
+                f = ids.shape[-1]
+                base = {
+                    "position_ids": jnp.asarray(batch["position_ids"]),
+                    "segment_ids": jnp.asarray(batch["segment_ids"]),
+                }
+                pad_mask = np.asarray(batch["segment_ids"]) > 0
+                if sampler is None:
+
+                    def logits_fn(x_flat, position_ids, segment_ids):
+                        bb = {
+                            "input_ids": x_flat.reshape(b, p, f),
+                            "position_ids": position_ids,
+                            "segment_ids": segment_ids,
+                        }
+                        logits = heads_mod.pretrain_logits(
+                            self.state.params, m, bb
+                        )
+                        return logits.reshape(b, p * f, -1)
+
+                    sampler = dllm.make_unmask_sampler(
+                        logits_fn, gen_cfg, tok.mask_id
+                    )
+                for band in range(n_bands):
+                    lo, hi = band / n_bands, (band + 1) / n_bands
+                    _, mask = dllm.mask_at_ratio(ids, tok.mask_id, (lo, hi), rng_np)
+                    mask = mask & pad_mask[..., None]
+                    masked = np.where(mask, tok.mask_id, ids)
+                    out = sampler(
+                        jnp.asarray(masked.reshape(b, p * f)),
+                        jax.random.PRNGKey(band * 100003 + start),
+                        base["position_ids"],
+                        base["segment_ids"],
+                    )
+                    hit = (np.asarray(out).reshape(b, p, f) == ids) & mask
+                    correct[band] += int(hit.sum())
+                    masked_n[band] += int(mask.sum())
+        if pc > 1:
+            from jax.experimental import multihost_utils
+
+            g = multihost_utils.process_allgather(
+                np.stack([correct, masked_n]).astype(np.float64)
+            )
+            correct = g[..., 0, :].sum(axis=0)
+            masked_n = g[..., 1, :].sum(axis=0)
+        results = {}
+        for band in range(n_bands):
+            lo, hi = band / n_bands, (band + 1) / n_bands
+            results[f"gen_acc@umr_{lo:.1f}-{hi:.1f}"] = float(
+                correct[band] / max(masked_n[band], 1)
+            )
+        log_line(f"generation eval ({len(idx)} samples/host): {results}")
         return results
 
 

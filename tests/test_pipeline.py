@@ -154,3 +154,24 @@ def test_finetune_freeze_embeddings(pretrain_dir, tmp_path):
     pipe.run()
     emb1 = np.asarray(pipe.state.params["embed_tokens"])
     np.testing.assert_array_equal(emb0, emb1)  # frozen
+
+
+def test_generation_eval_full_sweep(tmp_path):
+    """evaluate_generation sweeps EVERY validation batch per band (reference
+    full-loader band sweep, log_eval_dump_utils.py:307-384), accumulating
+    masked-position accuracy across batches with one fixed-shape sampler."""
+    from graphgpt_tpu.training.pipeline import PretrainPipeline
+
+    cfg = _base_cfg(tmp_path)
+    cfg.training.valid_percent = 0.2
+    cfg.training.schedule.total_num_steps = 2
+    cfg.training.schedule.warmup_num_steps = 1
+    cfg.generation.steps = 3
+    pipe = PretrainPipeline(cfg).setup()
+    try:
+        res = pipe.evaluate_generation(n_samples=8, n_bands=2, batch_size=4)
+    finally:
+        pipe.loader.close()
+    assert set(res) == {"gen_acc@umr_0.0-0.5", "gen_acc@umr_0.5-1.0"}
+    for v in res.values():
+        assert 0.0 <= v <= 1.0
