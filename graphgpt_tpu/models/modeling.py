@@ -124,6 +124,52 @@ def _drop_path(x, rate, rng, train: bool):
 # ---------------------------------------------------------------------------
 # Embedding path
 # ---------------------------------------------------------------------------
+@jax.custom_vjp
+def _embed_lookup(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    """table[ids] with a matmul-based backward.
+
+    XLA's scatter-add for the embedding gradient costs ~17 ms/step at
+    [64,1024,13] ids on v5e; for the small graph vocabularies here
+    (hundreds to tens of thousands of tokens) a chunked one-hot
+    contraction dE = onehot(ids)^T @ g runs on the MXU instead."""
+    return table[ids]
+
+
+def _embed_lookup_fwd(table, ids):
+    return table[ids], (ids, jnp.zeros(table.shape[:1], table.dtype))
+
+
+def _embed_lookup_bwd(res, g):
+    ids, tproto = res
+    vocab, tdt = tproto.shape[0], tproto.dtype
+    d = g.shape[-1]
+    flat_ids = ids.reshape(-1)
+    gf = g.reshape(-1, d)
+    n = flat_ids.shape[0]
+    chunk = min(n, 65536)
+    while n % chunk != 0:
+        chunk //= 2
+    classes = jnp.arange(vocab, dtype=flat_ids.dtype)
+
+    def body(acc, i):
+        sl_ids = jax.lax.dynamic_slice_in_dim(flat_ids, i * chunk, chunk)
+        sl_g = jax.lax.dynamic_slice_in_dim(gf, i * chunk, chunk)
+        onehot = (sl_ids[:, None] == classes[None, :]).astype(g.dtype)
+        acc = acc + jax.lax.dot_general(
+            onehot, sl_g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc, None
+
+    dtab, _ = jax.lax.scan(
+        body, jnp.zeros((vocab, d), jnp.float32), jnp.arange(n // chunk)
+    )
+    return dtab.astype(tdt), None
+
+
+_embed_lookup.defvjp(_embed_lookup_fwd, _embed_lookup_bwd)
+
+
 def embed_inputs(
     params: Params,
     cfg: ModelConfig,
@@ -133,7 +179,7 @@ def embed_inputs(
 ) -> jnp.ndarray:
     dt = _dtype(cfg)
     table = params["embed_tokens"].astype(dt)
-    emb = table[input_ids]  # [B,P,D] or [B,P,F,D]
+    emb = _embed_lookup(table, input_ids)  # [B,P,D] or [B,P,F,D]
     emb = _dropout(emb, cfg.embed_dropout, rng, train)
     if input_ids.ndim == 3:
         if cfg.stacked_feat_agg_method == "gated":
@@ -213,11 +259,23 @@ def backbone_apply(
     needs_rng = use_dp or use_adrop or use_mdrop
 
     def apply_one(x, lp, dp_rate, idx):
+        # x: [B*P, D]. The layer body runs on a flat token axis so every
+        # projection is a canonical rank-2 GEMM: with a rank-3
+        # [B,P,D] @ [D,*] dot this XLA lowers the projections as
+        # convolutions and assigns conv-style batch-in-lanes {1,2,0}
+        # layouts to the whole residual stream (measured: the down-proj
+        # at 4x ideal time plus 200MB layout copies around every Pallas
+        # call). The [B,P,...] views at the attention boundary are pure
+        # bitcasts of the {1,0} layout.
         if needs_rng:
             lrng = jax.random.fold_in(rng, idx)
             r_mlp, r_dp1, r_dp2, r_adrop = jax.random.split(lrng, 4)
         else:
             r_mlp = r_dp1 = r_dp2 = r_adrop = None
+
+        def drop_path_tokens(t, r):
+            return _drop_path(t.reshape(b, p, d), dp_rate, r, train).reshape(b * p, d)
+
         # --- attention block
         hpre = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
         q = (hpre @ lp["q"].astype(dt)).reshape(b, p, h, dh)
@@ -228,13 +286,13 @@ def backbone_apply(
             q, k, v, segment_ids, causal=cfg.causal_attention, impl=cfg.attn_impl,
             bi_causal_split=cfg.bi_causal_split,
         )
-        attn_out = attn_out.reshape(b, p, h * dh) @ lp["o"].astype(dt)
+        attn_out = attn_out.reshape(b * p, h * dh) @ lp["o"].astype(dt)
         if use_adrop:
             attn_out = _dropout(attn_out, cfg.attention_dropout, r_adrop, train)
         if use_ls:
             attn_out = attn_out * lp["ls1"].astype(dt)
         if use_dp:
-            attn_out = _drop_path(attn_out, dp_rate, r_dp1, train)
+            attn_out = drop_path_tokens(attn_out, r_dp1)
         x = x + attn_out
         # --- MLP block
         hpre = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
@@ -247,9 +305,11 @@ def backbone_apply(
         if use_ls:
             mlp_out = mlp_out * lp["ls2"].astype(dt)
         if use_dp:
-            mlp_out = _drop_path(mlp_out, dp_rate, r_dp2, train)
+            mlp_out = drop_path_tokens(mlp_out, r_dp2)
         x = x + mlp_out
         return x
+
+    x = x.reshape(b * p, d)
 
     def layer_fn(carry, scanned):
         lp, dp_rate, idx = scanned
@@ -282,7 +342,7 @@ def backbone_apply(
             x,
             (grouped, dp_rates.reshape(-1, group), layer_idx.reshape(-1, group)),
         )
-        return rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+        return rms_norm(x, params["final_norm"], cfg.rms_norm_eps).reshape(b, p, d)
     if cfg.remat:
         if cfg.remat_policy == "dots":
             # save matmul outputs, recompute elementwise: much cheaper
@@ -318,7 +378,7 @@ def backbone_apply(
     else:
         fn = layer_fn
     x, _ = jax.lax.scan(fn, x, (params["layers"], dp_rates, layer_idx))
-    return rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    return rms_norm(x, params["final_norm"], cfg.rms_norm_eps).reshape(b, p, d)
 
 
 def model_hidden_states(

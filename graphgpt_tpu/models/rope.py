@@ -138,12 +138,18 @@ def rotate_half(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def apply_rope(q, k, cos, sin):
-    """q,k: [B, P, H, Dh]; cos,sin: [B, P, Dh]."""
-    cos = cos[:, :, None, :]
-    sin = sin[:, :, None, :]
+    """q,k: [B, P, H, Dh]; cos,sin: [B, P, Dh].
+
+    The rotation is applied in q's dtype: cos/sin tables are built in f32
+    (phase accuracy) but multiplying bf16 activations by f32 tables would
+    promote the whole chain to f32 — measured on v5e as ~20 ms/step of
+    convert traffic plus f32 cotangents (and layout copies) through every
+    layer's backward."""
+    cos = cos.astype(q.dtype)[:, :, None, :]
+    sin = sin.astype(q.dtype)[:, :, None, :]
     q2 = q * cos + rotate_half(q) * sin
     k2 = k * cos + rotate_half(k) * sin
-    return q2.astype(q.dtype), k2.astype(k.dtype)
+    return q2, k2.astype(k.dtype)
 
 
 def reset_position_ids(position_ids: jnp.ndarray, rope_range: int, mpe: int):

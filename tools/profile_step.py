@@ -14,6 +14,10 @@ import os
 import sys
 import tempfile
 
+# must be set before any protobuf import: the C++ descriptor pool rejects
+# the image's stale tensorboard/tsl _pb2 files
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -56,6 +60,12 @@ def main():
     if not xplanes:
         print(json.dumps({"error": "no xplane captured", "logdir": logdir}))
         return
+    print(f"# logdir: {logdir}")
+    try:
+        _parse_raw_xplane(xplanes[0], args.top, args.steps)
+        return
+    except Exception as e:  # pragma: no cover - fallback path
+        print(f"# raw parse failed ({e}); trying the tensorboard plugin")
     from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
 
     data, _ = rtd.xspace_to_tool_data(xplanes, "hlo_stats", {})
@@ -70,6 +80,48 @@ def main():
     rows = obj if isinstance(obj, list) else obj.get("data", [])
     print(f"# logdir: {logdir}")
     _print_hlo_table(rows, args.top)
+
+
+def _parse_raw_xplane(path: str, top: int, steps: int):
+    """Self-time sweep over the device 'XLA Ops' line of a raw xplane proto
+    (no tensorboard plugin needed; its protobuf bindings are broken in this
+    image). Parents sort before children at equal start so the containment
+    stack attributes nested time correctly."""
+    import collections
+
+    os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    xs = xplane_pb2.XSpace()
+    with open(path, "rb") as f:
+        xs.ParseFromString(f.read())
+    plane = [p for p in xs.planes if "TPU" in p.name][0]
+    evm = plane.event_metadata
+    line = [l for l in plane.lines if l.name == "XLA Ops"][0]
+    evs = sorted(
+        (ev.offset_ps, -ev.duration_ps, evm[ev.metadata_id].name)
+        for ev in line.events
+    )
+    self_time: collections.Counter = collections.Counter()
+    count: collections.Counter = collections.Counter()
+    stack = []
+    for s, nd, name in evs:
+        e = s - nd
+        while stack and stack[-1][1] <= s:
+            stack.pop()
+        if stack:
+            pe = stack[-1][1]
+            self_time[stack[-1][2]] -= (e - s) if e <= pe else (pe - s)
+        self_time[name] += e - s
+        count[name] += 1
+        stack.append((s, e, name))
+    total = sum(self_time.values())
+    print(f"total self {total / 1e9 / steps:.1f} ms/step")
+    for name, ps in self_time.most_common(top):
+        print(
+            f"{ps / 1e9 / steps:8.2f} ms/step {100 * ps / total:5.1f}% "
+            f"x{count[name] // steps:<4d} {name[:140]}"
+        )
 
 
 def _print_hlo_table(rows, top):
