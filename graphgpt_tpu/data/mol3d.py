@@ -83,6 +83,59 @@ def discrete_pos(pos, num_bins: int, range_min=None, range_max=None):
     return np.clip(bins.astype(np.int64), 0, num_bins - 1)
 
 
+def pos_percentile_boundaries(
+    all_pos: np.ndarray, num_bins: int, eps: float = 1e-4
+) -> np.ndarray:
+    """Percentile bin boundaries over |pos| > eps coordinate values, with
+    the outermost edges widened to +-100 (reference
+    _load_pos_percentile_boundaries, _readers/pcqm4mv2.py:261-284 and the
+    bound-widening at pcqm4mv2.py:68-70)."""
+    flat = np.asarray(all_pos, np.float32).reshape(-1)
+    filtered = flat[np.abs(flat) > eps]
+    if filtered.size == 0:
+        filtered = np.asarray([-1.0, 1.0], np.float32)
+    q = 100.0 * np.arange(num_bins + 1) / num_bins
+    b = np.percentile(filtered, q).astype(np.float32)
+    b[0], b[-1] = -100.0, 100.0
+    return b
+
+
+def build_dict_bounds(
+    all_pos: np.ndarray,
+    cache_dir: "str | None" = None,
+    nums=(128, 256, 512, 1024),
+    eps: float = 1e-4,
+):
+    """{num_bins: boundaries} for the reference's four bin counts, cached
+    as npz next to the dataset (pcqm4mv2.py:262-266 file protocol)."""
+    import os
+
+    out = {}
+    for num in nums:
+        fn = (
+            os.path.join(cache_dir, f"pos_{num}percentile_eps{eps}_boundaries.npz")
+            if cache_dir
+            else None
+        )
+        if fn and os.path.exists(fn):
+            out[num] = np.load(fn)["boundaries"].astype(np.float32)
+            continue
+        b = pos_percentile_boundaries(all_pos, num, eps)
+        if fn:
+            np.savez(fn, boundaries=b)
+        out[num] = b
+    return out
+
+
+def discrete_pos_v2(pos, num_bins: int, dict_bounds) -> np.ndarray:
+    """Non-uniform percentile binning (reference discrete_pos_v2,
+    mol_utils.py:167-179): clip to [-99, 99], bucketize by the cached
+    boundaries (bucketize(right=False) == searchsorted(side='left'))."""
+    pos_clipped = np.clip(np.asarray(pos, np.float32), -99.0, 99.0)
+    boundaries = np.asarray(dict_bounds[num_bins], np.float32)
+    return np.searchsorted(boundaries, pos_clipped, side="left").astype(np.int64) - 1
+
+
 def pos_type_from_node_index(raw_node_idx: np.ndarray) -> np.ndarray:
     """Position type per sequence slot: 0 pad, 1 (0,0,0), 2 (0,0,z),
     3 (0,y,z), 4 (x,y,z) (tokenizer decoration at

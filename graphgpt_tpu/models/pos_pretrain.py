@@ -80,6 +80,26 @@ def _discrete_pos(pos, num_bins, range_min, range_max):
     return jnp.clip(bins.astype(jnp.int32), 0, num_bins - 1)
 
 
+def _make_discrete_pos(batch):
+    """Pick the discretiser: when the batch carries percentile boundaries
+    for a bin count (`pos_boundaries_{num_bins}`, from the dataset's
+    dict_bounds — reference pipeline.py:159-162 propagation), use the
+    reference's non-uniform bucketize (discrete_pos_v2,
+    mol_utils.py:167-179); otherwise uniform DICT_range binning."""
+
+    def f(pos, num_bins, range_min, range_max):
+        key = f"pos_boundaries_{num_bins}"
+        if key in batch:
+            bounds = batch[key].astype(jnp.float32)
+            pc = jnp.clip(pos, -99.0, 99.0)
+            return (
+                jnp.searchsorted(bounds, pc, side="left").astype(jnp.int32) - 1
+            )
+        return _discrete_pos(pos, num_bins, range_min, range_max)
+
+    return f
+
+
 def _schedule_ratio(u, power: float):
     """Per-sample mask-ratio transform (modeling_helpers.py:925-936)."""
     if power == -2:
@@ -149,6 +169,7 @@ def pos_pred_forward(
 
     range_min = jnp.asarray(DICT_RANGE[cfg.pos_range][0])
     range_max = jnp.asarray(DICT_RANGE[cfg.pos_range][1])
+    disc = _make_discrete_pos(batch)
 
     # embeddings: stacked attrs + pos type + pos tokens
     embeds = embed_inputs(params, cfg, masked_ids, rng=None, train=False)
@@ -158,7 +179,7 @@ def pos_pred_forward(
         shift = (
             jnp.asarray([0, nb, nb * 2]) if cfg.pos_agg_method == "sum" else jnp.zeros(3, jnp.int32)
         )
-        in_tok = _discrete_pos(jnp.where(mask3, 0.0, noisy_pos), nb, range_min, range_max)
+        in_tok = disc(jnp.where(mask3, 0.0, noisy_pos), nb, range_min, range_max)
         in_tok = in_tok + shift[None, None, :] + 2
         in_tok = jnp.where(sample_mask[..., None], 1, in_tok)  # [mask] whole sample
         in_tok = jnp.where(mask3, 1, in_tok)  # [mask] masked coords
@@ -169,20 +190,20 @@ def pos_pred_forward(
         else:
             pos_embeds = tok_emb.sum(axis=-2)
         # labels: clean-pos bins (+shift), only at masked+valid coords
-        lab = _discrete_pos(raw_pos, nb, range_min, range_max) + shift[None, None, :]
+        lab = disc(raw_pos, nb, range_min, range_max) + shift[None, None, :]
         valid_lab = mask3 & ~sample_mask[..., None] & pad_mask[..., None]
         labels_3d = jnp.where(valid_lab, lab, -100)
     elif cfg.pos_problem_type == "pos-smtp-cube":
         nb = cfg.pos_num_bins
         mult = jnp.asarray([nb * nb, nb, 1])
-        bins = _discrete_pos(noisy_pos, nb, range_min, range_max)
+        bins = disc(noisy_pos, nb, range_min, range_max)
         tok = (bins * mult[None, None, :]).sum(-1) + 2  # [B, P]
         m_any = mask3.any(-1)
         tok = jnp.where(sample_mask | m_any, 1, tok)
         tok = jnp.where(~pad_mask, 0, tok)
         pos_embeds = params["embed_pos_token"].astype(dt)[tok]
         # +2 offset matches the tied embed/head vocabulary ([pad]=0, [mask]=1)
-        lab = (_discrete_pos(raw_pos, nb, range_min, range_max) * mult[None, None, :]).sum(-1) + 2
+        lab = (disc(raw_pos, nb, range_min, range_max) * mult[None, None, :]).sum(-1) + 2
         valid_lab = m_any & ~sample_mask & pad_mask
         labels_3d = jnp.where(valid_lab, lab, -100)[..., None]
     else:  # pos-smtp-mix: line + cube token embeddings, two 3D losses
@@ -190,7 +211,7 @@ def pos_pred_forward(
         shift = (
             jnp.asarray([0, nl, nl * 2]) if cfg.pos_agg_method == "sum" else jnp.zeros(3, jnp.int32)
         )
-        lt = _discrete_pos(jnp.where(mask3, 0.0, noisy_pos), nl, range_min, range_max)
+        lt = disc(jnp.where(mask3, 0.0, noisy_pos), nl, range_min, range_max)
         lt = lt + shift[None, None, :] + 2
         lt = jnp.where(sample_mask[..., None] | mask3, 1, lt)
         lt = jnp.where(~pad_mask[..., None], 0, lt)
@@ -198,15 +219,15 @@ def pos_pred_forward(
         nc = cfg.pos_num_bins_cube
         mult = jnp.asarray([nc * nc, nc, 1])
         m_any = mask3.any(-1)
-        ct = (_discrete_pos(noisy_pos, nc, range_min, range_max) * mult[None, None, :]).sum(-1) + 2
+        ct = (disc(noisy_pos, nc, range_min, range_max) * mult[None, None, :]).sum(-1) + 2
         ct = jnp.where(sample_mask | m_any, 1, ct)
         ct = jnp.where(~pad_mask, 0, ct)
         cube_emb = params["embed_cube_token"].astype(dt)[ct]
         pos_embeds = line_emb + cube_emb
-        lab_line = _discrete_pos(raw_pos, nl, range_min, range_max) + shift[None, None, :] + 2
+        lab_line = disc(raw_pos, nl, range_min, range_max) + shift[None, None, :] + 2
         valid_l = mask3 & ~sample_mask[..., None] & pad_mask[..., None]
         labels_3d = jnp.where(valid_l, lab_line, -100)  # line labels (head1)
-        lab_cube = (_discrete_pos(raw_pos, nc, range_min, range_max) * mult[None, None, :]).sum(-1) + 2
+        lab_cube = (disc(raw_pos, nc, range_min, range_max) * mult[None, None, :]).sum(-1) + 2
         valid_c = m_any & ~sample_mask & pad_mask
         labels_cube = jnp.where(valid_c, lab_cube, -100)[..., None]
 

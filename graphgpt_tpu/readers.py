@@ -186,6 +186,41 @@ def apply_split_policies(store: NpzGraphStore, splits, policy: dict):
     return train, valid, test
 
 
+# auxiliary pretrain corpora ensembled into PCQM training and the y column
+# each keeps: CEPDB e_gap_alpha (y[:, 5]), ZINC Desolv_apolar (y[:, 2])
+# (reference add_cepdb/add_zinc, _readers/pcqm4mv2.py:120-157)
+_AUX_Y_COL = {"CEPDB": 5, "ZINC": 2}
+
+
+class EnsembleSplitDataset(EnsembleDataset):
+    """Base split dataset + auxiliary corpora appended to the TRAIN split
+    only (reference EnsembleGraphsMapDataset wrapping,
+    _readers/pcqm4mv2.py:120-157: valid/test stay on the base dataset)."""
+
+    def __init__(self, base: "SplitDataset", auxes):
+        super().__init__([base] + list(auxes))
+        self.base = base
+
+    def splits(self):
+        tr, va, te = self.base.splits()
+        extra = [
+            np.arange(self._ptr[k], self._ptr[k + 1], dtype=np.int64)
+            for k in range(1, len(self.datasets))
+        ]
+        if extra:
+            tr = np.concatenate([tr] + extra)
+        return tr, va, te
+
+
+def _load_aux_dataset(cfg, name: str):
+    path = os.path.join(cfg.tokenization.data_dir, name, "graphs.npz")
+    store = NpzGraphStore(path)
+    if store._ys is not None and store._ys.ndim == 2:
+        col = _AUX_Y_COL.get(name, 0)
+        store._ys = np.nan_to_num(store._ys[:, col : col + 1], nan=0.0)
+    return GraphsMapDataset(store, permute=True, seed=cfg.training.seed)
+
+
 def _graph_level_reader(name: str):
     @_readers(name)
     def _read(cfg, **kw):
@@ -201,6 +236,21 @@ def _graph_level_reader(name: str):
             base = ds.splits()
             tr, va, te = apply_split_policies(store, base, policy)
             ds._splits = {"train": tr, "valid": va, "test": te}
+        if policy.get("pos_percentile_bounds") and store._pos is not None:
+            from .data.mol3d import build_dict_bounds
+
+            ds.dict_bounds = build_dict_bounds(
+                store._pos, cache_dir=os.path.dirname(path)
+            )
+        auxes = [
+            _load_aux_dataset(cfg, aux)
+            for aux in ("CEPDB", "ZINC")
+            if policy.get(f"add_{aux.lower()}")
+        ]
+        if auxes:
+            ens = EnsembleSplitDataset(ds, auxes)
+            ens.dict_bounds = getattr(ds, "dict_bounds", None)
+            return ens
         return ds
 
     return _read

@@ -239,3 +239,59 @@ def test_spice2graph(tmp_path):
     ds = readers.read_dataset("spice-circuit", cfg)
     g = ds[0]
     assert g.num_nodes == 11 and g.node_attr.shape == (11, 1)
+
+
+def _aux_npz(path, n_graphs=10, y_cols=7, seed=5):
+    rng = np.random.default_rng(seed)
+    node_attr, edge_cols, node_ptr, edge_ptr = [], [], [0], [0]
+    for _ in range(n_graphs):
+        n = int(rng.integers(4, 12))
+        src = np.arange(n - 1)
+        ei = np.stack([np.concatenate([src, src + 1]),
+                       np.concatenate([src + 1, src])])
+        node_attr.append(rng.integers(0, 5, size=(n, 2)).astype(np.int32))
+        edge_cols.append(ei + node_ptr[-1])
+        node_ptr.append(node_ptr[-1] + n)
+        edge_ptr.append(edge_ptr[-1] + ei.shape[1])
+    y = rng.normal(size=(n_graphs, y_cols)).astype(np.float32)
+    y[0, :] = np.nan  # exercises nan_to_num
+    np.savez(
+        path,
+        node_attr=np.concatenate(node_attr),
+        edge_index=np.concatenate(edge_cols, axis=1).astype(np.int32),
+        node_ptr=np.asarray(node_ptr, np.int64),
+        edge_ptr=np.asarray(edge_ptr, np.int64),
+        y=y,
+    )
+    return y
+
+
+def test_pcqm_cepdb_zinc_ensembling(tmp_path):
+    """add_cepdb/add_zinc wrap the train split in an ensemble with the
+    reference's y-column selection (CEPDB y[:,5], ZINC y[:,2], nan->0;
+    _readers/pcqm4mv2.py:120-157). valid/test stay on the base dataset."""
+    from graphgpt_tpu import readers
+    from graphgpt_tpu.config import Config
+
+    base_dir = tmp_path / "pcqm4m-v2"
+    base_dir.mkdir()
+    _graphs_npz(base_dir / "graphs.npz")
+    (tmp_path / "CEPDB").mkdir()
+    y_cep = _aux_npz(tmp_path / "CEPDB" / "graphs.npz", n_graphs=10)
+    (tmp_path / "ZINC").mkdir()
+    y_zinc = _aux_npz(tmp_path / "ZINC" / "graphs.npz", n_graphs=6, seed=6)
+
+    cfg = Config()
+    cfg.tokenization.data_dir = str(tmp_path)
+    cfg.tokenization.dataset_policy = {"add_cepdb": True, "add_zinc": True}
+    ds = readers.read_dataset("pcqm4m-v2", cfg)
+    tr, va, te = ds.splits()
+    assert len(ds) == 40 + 10 + 6
+    assert len(tr) == 24 + 10 + 6  # aux appended to train only
+    assert va.tolist() == list(range(24, 36)) and te.tolist() == list(range(36, 40))
+    # y column selection with nan -> 0
+    g_cep = ds[40]  # first CEPDB graph (graph 0 has nan y)
+    assert float(np.nan_to_num(y_cep[0, 5])) == float(np.asarray(g_cep.y).reshape(-1)[0])
+    g_zinc = ds[50 + 1]
+    assert abs(float(y_zinc[1, 2]) - float(np.asarray(g_zinc.y).reshape(-1)[0])) < 1e-6
+    assert g_cep.extra["idx_of_ds"] == 1 and g_zinc.extra["idx_of_ds"] == 2

@@ -208,3 +208,74 @@ def test_pretrain_mlm_coord_host_masking():
     )(params, jb)
     assert np.isfinite(float(out["loss"]))
     assert np.isfinite(float(out["pretrain_loss"]))
+
+
+def test_pos_percentile_boundaries_semantics():
+    """Boundary construction matches the reference: |pos|>eps filtering,
+    percentile grid, widened +-100 outer edges (pcqm4mv2.py:261-284)."""
+    rng = np.random.default_rng(0)
+    pos = rng.normal(size=(500, 3)).astype(np.float32)
+    pos[:100] = 0.0  # filtered out by |pos| > eps
+    b = mol3d.pos_percentile_boundaries(pos, 128)
+    assert b.shape == (129,)
+    assert b[0] == -100.0 and b[-1] == 100.0
+    assert np.all(np.diff(b[1:-1]) >= 0)
+    filtered = pos.reshape(-1)[np.abs(pos.reshape(-1)) > 1e-4]
+    np.testing.assert_allclose(
+        b[64], np.percentile(filtered, 50.0), rtol=1e-5
+    )
+
+
+def test_discrete_pos_v2_matches_torch_bucketize():
+    """Non-uniform binning parity with the reference's torch.bucketize
+    (discrete_pos_v2, mol_utils.py:167-179)."""
+    import torch
+
+    rng = np.random.default_rng(1)
+    pos = (rng.normal(size=(40, 3)) * 3).astype(np.float32)
+    bounds = mol3d.pos_percentile_boundaries(pos, 16)
+    ours = mol3d.discrete_pos_v2(pos, 16, {16: bounds})
+    ref = (
+        torch.bucketize(
+            torch.clamp(torch.tensor(pos), min=-99, max=99).float(),
+            torch.tensor(bounds).float(),
+        )
+        - 1
+    ).numpy()
+    np.testing.assert_array_equal(ours, ref)
+    assert ours.min() >= 0 and ours.max() <= 15
+
+
+def test_build_dict_bounds_cache(tmp_path):
+    rng = np.random.default_rng(2)
+    pos = rng.normal(size=(200, 3)).astype(np.float32)
+    d1 = mol3d.build_dict_bounds(pos, cache_dir=str(tmp_path), nums=(128, 256))
+    assert set(d1) == {128, 256}
+    # second call loads from cache files
+    d2 = mol3d.build_dict_bounds(
+        np.zeros((1, 3), np.float32), cache_dir=str(tmp_path), nums=(128, 256)
+    )
+    np.testing.assert_array_equal(d1[128], d2[128])
+
+
+def test_pos_pred_forward_with_boundaries():
+    """pos_pred_forward consumes batch-carried percentile boundaries (the
+    dict_bounds propagation path, reference pipeline.py:159-162)."""
+    cfg = _cfg("pos-smtp-line")
+    params = pos_pretrain.init_pos_pred_params(cfg, jax.random.PRNGKey(0))
+    batch = _batch(cfg)
+    rng = np.random.default_rng(3)
+    bounds = mol3d.pos_percentile_boundaries(
+        np.asarray(batch["pos"]).reshape(-1, 3), cfg.pos_num_bins
+    )
+    batch_b = dict(batch)
+    batch_b[f"pos_boundaries_{cfg.pos_num_bins}"] = jnp.asarray(bounds)
+    out_uniform = pos_pretrain.pos_pred_forward(
+        params, cfg, batch, rng=jax.random.PRNGKey(1), train=True
+    )
+    out_bounds = pos_pretrain.pos_pred_forward(
+        params, cfg, batch_b, rng=jax.random.PRNGKey(1), train=True
+    )
+    assert np.isfinite(float(out_bounds["loss"]))
+    # different binning must change the 3D token stream (and hence loss)
+    assert float(out_bounds["loss"]) != float(out_uniform["loss"])
