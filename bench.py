@@ -1,21 +1,42 @@
 """Benchmark harness: pretrain tokens/s/chip on the flagship config.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints JSON lines {"metric", "value", "unit", "vs_baseline"}; the LAST
+line is the most refined measurement (earlier lines are progressively
+cruder estimates flushed early so a truncated/timed-out run still
+records a number — the round-2 driver run timed out with zero output).
 
 The reference publishes no throughput numbers (SURVEY.md §6), so
 `vs_baseline` reports measured tokens/s divided by a model-FLOPs
 speed-of-light estimate for this chip (i.e. MFU-normalised throughput;
 1.0 would be perfect MXU utilisation on the 6*N*P*params transformer
 FLOP count). Higher is better.
+
+Driver-proofing: a persistent XLA compilation cache at .jax_cache/ is
+enabled before any jax import so repeat runs skip the (axon-tunnel,
+minutes-long) compile; the cache is warmed by our own runs during the
+round.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+
+
+def _enable_compile_cache():
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 def peak_flops_per_chip() -> float:
@@ -34,15 +55,47 @@ def peak_flops_per_chip() -> float:
     return 197e12
 
 
+def _emit(tokens_per_s: float, sol_tokens_per_s: float, metric: str):
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(tokens_per_s, 1),
+                "unit": "tokens/s",
+                "vs_baseline": round(tokens_per_s / sol_tokens_per_s, 4),
+            }
+        ),
+        flush=True,
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small model, few steps")
     ap.add_argument("--batch", type=int, default=0)
     ap.add_argument("--seq", type=int, default=1024)
     ap.add_argument("--steps", type=int, default=0)
+    ap.add_argument(
+        "--pipeline",
+        action="store_true",
+        help="measure the real input pipeline + train loop instead of a "
+        "synthetic device-only loop",
+    )
     args = ap.parse_args()
 
+    _enable_compile_cache()
     import jax
+
+    # honour an explicit cpu request: the container's sitecustomize force-
+    # registers the axon TPU plugin, so the env var alone is not enough
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    if args.pipeline:
+        from tools.bench_pipeline import run_pipeline_bench
+
+        run_pipeline_bench(args, peak_flops_per_chip())
+        return
 
     from __graft_entry__ import _fake_batch, _flagship_cfg
     from graphgpt_tpu.config import OptimizerConfig
@@ -59,7 +112,7 @@ def main():
     else:
         cfg = _flagship_cfg(hidden=768, layers=12, seq=args.seq)
         batch_size = args.batch or 64
-        n_steps = args.steps or 20
+        n_steps = args.steps or 10
         seq = args.seq
 
     params = heads.init_pretrain_params(cfg, jax.random.PRNGKey(0))
@@ -71,32 +124,33 @@ def main():
     batch = _fake_batch(batch_size, seq, cfg.stacked_feat, cfg.vocab_size)
     rng = jax.random.PRNGKey(0)
 
+    tokens_per_step = batch_size * seq
+    flops_per_token = 6.0 * n_params  # attention excluded: lower bound
+    sol_tokens_per_s = peak_flops_per_chip() / flops_per_token
+    metric = "pretrain_tokens_per_sec_per_chip"
+
     # warmup/compile; float() forces a device->host read — on the tunneled
     # axon backend block_until_ready alone does not reliably block
     state, m = step(state, batch, rng)
     _ = float(m["loss"])
+
+    # crude early estimate (2 steps), flushed immediately so a truncated
+    # run still records a number
+    t0 = time.perf_counter()
+    for _ in range(2):
+        state, m = step(state, batch, rng)
+    _ = float(m["loss"])
+    dt = time.perf_counter() - t0
+    _emit(tokens_per_step * 2 / dt, sol_tokens_per_s, metric)
+
+    # refined measurement
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, m = step(state, batch, rng)
     _ = float(m["loss"])
     dt = time.perf_counter() - t0
-
-    tokens_per_step = batch_size * seq
-    tokens_per_s = tokens_per_step * n_steps / dt
-    # fwd+bwd ~ 6 * params FLOPs per token (attention excluded: lower bound)
-    flops_per_token = 6.0 * n_params
-    sol_tokens_per_s = peak_flops_per_chip() / flops_per_token
-    print(
-        json.dumps(
-            {
-                "metric": "pretrain_tokens_per_sec_per_chip",
-                "value": round(tokens_per_s, 1),
-                "unit": "tokens/s",
-                "vs_baseline": round(tokens_per_s / sol_tokens_per_s, 4),
-            }
-        )
-    )
+    _emit(tokens_per_step * n_steps / dt, sol_tokens_per_s, metric)
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

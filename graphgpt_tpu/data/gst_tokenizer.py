@@ -129,6 +129,16 @@ class GSTTokenizer:
         self.intra_cls_token_ids = [
             vocab_map[t] for t in sem.reserved_tokens[:num_intra_cls] if t in vocab_map
         ]
+        # fail fast like the reference's assert len(reserved) >= num_labels
+        # (tokenizer_utils.py:729-748) — a short list would IndexError later
+        # when the nodev2 branch permutes range(num_intra_cls)
+        if num_intra_cls > 0 and len(self.intra_cls_token_ids) != num_intra_cls:
+            raise ValueError(
+                f"num_intra_cls={num_intra_cls} but only "
+                f"{len(self.intra_cls_token_ids)} reserved semantics tokens are "
+                "present in the vocab; add the missing reserved tokens "
+                "(semantics.reserved_tokens) to the vocab file"
+            )
 
     def _continuous_tokens(self, vals, ident_ids, ignored) -> List[int]:
         """value 380 -> [identifier, <3>, <8>, <0>]; leading '0.' collapses

@@ -307,6 +307,14 @@ class EgoEdgeDataset:
             None if pos_edge_attr is None else np.asarray(pos_edge_attr, np.int64)
         )
         self.fixed_neg = None if neg_edges is None else np.asarray(neg_edges, np.int64)
+        # fixed eval negatives pair 1:1 with the FULL positive set; combining
+        # them with a percent-subsampled positive stream would mispair the
+        # MRR grouping (reference uses percent only on the train split)
+        assert self.fixed_neg is None or percent >= 100, (
+            "fixed eval negatives require percent=100 (got "
+            f"percent={percent}): subsampled positives cannot be paired "
+            "with full-set structured negatives"
+        )
         self.fixed_neg_attr = (
             None if neg_edge_attr is None else np.asarray(neg_edge_attr, np.int64)
         )
@@ -355,11 +363,17 @@ class EgoEdgeDataset:
                 n_pos, k, _ = neg.shape
                 neg_group = np.repeat(np.arange(n_pos), k)
                 neg = neg.reshape(-1, 2)
-                if neg_attr is None and pos_attr is not None:
+                if neg_attr is None and self.pos_edge_attr_all is not None:
                     # eval negatives inherit their positive's relation
                     # (reference _get_reformatted_data_of_wikikg2,
-                    # edge_formatting.py:54-83)
-                    neg_attr = np.repeat(pos_attr, k, axis=0)
+                    # edge_formatting.py:54-83). Repeat from the FULL
+                    # positive-attr set: fixed_neg rows align 1:1 with
+                    # pos_edges_all, not with the percent-subset pos_attr.
+                    assert n_pos == len(self.pos_edge_attr_all), (
+                        f"structured negatives ({n_pos} rows) must align with "
+                        f"the full positive set ({len(self.pos_edge_attr_all)})"
+                    )
+                    neg_attr = np.repeat(self.pos_edge_attr_all, k, axis=0)
         elif self.method == "global":
             neg = sample_neg_edges_global(
                 self.big.num_nodes,

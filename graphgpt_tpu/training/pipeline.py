@@ -41,7 +41,11 @@ from .steps import init_train_state, make_eval_step, make_train_step
 def build_dataset(cfg: Config):
     name = cfg.tokenization.dataset
     if name == "synthetic_mol":
-        return SyntheticMolDataset(50_000, seed=cfg.training.seed)
+        # coord tasks need 3D positions on every molecule
+        with_pos = "coord" in cfg.training.task_type
+        return SyntheticMolDataset(
+            50_000, seed=cfg.training.seed, with_pos=with_pos
+        )
     from .. import readers  # registry of real dataset readers
 
     return readers.read_dataset(name, cfg)
@@ -93,6 +97,13 @@ class PretrainPipeline:
         # overlapped with the vocab scan / tokenizer build below, and is
         # joined just before training (run()).
         self._halo_handle = None
+        # the vocab is always scanned from the PRE-partition dataset: its
+        # arrays are never mutated by the background halo exchange (which
+        # writes only the shard's own node_attr copies), and every host sees
+        # the same full data, so all processes derive IDENTICAL vocab maps
+        # (the reference builds vocab rank-0 from the full raw dataset,
+        # vocab_builder.py:188-206)
+        vocab_scan_dataset = self.dataset
         if tcfg.dataset_partitioned and hasattr(self.dataset, "big"):
             from ..parallel.dist_input import shard_ego_node_dataset
 
@@ -107,7 +118,7 @@ class PretrainPipeline:
                 f"partitioned corpus: shard {jax.process_index()}/"
                 f"{jax.process_count()} with {self.dataset.big.num_nodes} nodes"
             )
-        self.tokenizer = build_tokenizer(cfg, self.dataset)
+        self.tokenizer = build_tokenizer(cfg, vocab_scan_dataset)
         # model config from tokenizer
         m = cfg.model
         m.vocab_size = self.tokenizer.vocab_size
@@ -154,7 +165,36 @@ class PretrainPipeline:
         )
         # mesh + sharded state
         self.mesh = mesh_lib.make_mesh(tcfg.mesh)
-        params = heads.init_pretrain_params(m, jax.random.PRNGKey(tcfg.seed))
+        # model family selection (reference PretrainMode registry
+        # {graphgpt: GraphGPTPretrainBase, graphgpt-pos: GraphGPTPosPred},
+        # pretrain_mode.py:71-75): coord tasks train the 3D-position model
+        if tcfg.task_type in (
+            "pretrain-coord",
+            "pretrain-coord-cl",
+            "pretrain-mlm-coord",
+        ):
+            from ..models import pos_pretrain
+
+            init_fn = pos_pretrain.init_pos_pred_params
+            self.forward_fn = pos_pretrain.pos_pred_forward
+        else:
+            init_fn = heads.init_pretrain_params
+            self.forward_fn = heads.pretrain_forward
+        # percentile-boundary propagation (reference pipeline.py:159-162
+        # dict_bounds -> model): replicate the boundary tables once and merge
+        # them into EVERY device batch so pos_pred_forward's
+        # pos_boundaries_{num_bins} lookup finds them (with
+        # dataset_policy.pos_percentile_bounds=true, missing this silently
+        # fell back to uniform binning)
+        self._const_batch = {}
+        dict_bounds = getattr(self.dataset, "dict_bounds", None)
+        if dict_bounds:
+            for nb in {m.pos_num_bins, m.pos_num_bins_line, m.pos_num_bins_cube}:
+                if nb in dict_bounds:
+                    self._const_batch[f"pos_boundaries_{nb}"] = mesh_lib.replicate(
+                        self.mesh, np.asarray(dict_bounds[nb], np.float32)
+                    )
+        params = init_fn(m, jax.random.PRNGKey(tcfg.seed))
         pspecs = mesh_lib.param_pspecs(params)
         self.shardings = mesh_lib.named_sharding_tree(self.mesh, pspecs)
         params = jax.device_put(params, self.shardings)
@@ -176,9 +216,9 @@ class PretrainPipeline:
         use_ema = tcfg.optimizer.use_ema
         self.state = jax.jit(lambda p: init_train_state(p, tx, use_ema))(params)
         self.train_step = make_train_step(
-            heads.pretrain_forward, m, self.tx, tcfg.optimizer, self.schedule
+            self.forward_fn, m, self.tx, tcfg.optimizer, self.schedule
         )
-        self.eval_step = make_eval_step(heads.pretrain_forward, m)
+        self.eval_step = make_eval_step(self.forward_fn, m)
         # loader (optionally with reference-style per-packed-row masking)
         post_pack_fn = None
         loader_tokenizer = self.tokenizer
@@ -236,9 +276,16 @@ class PretrainPipeline:
             # token count computed host-side BEFORE device_put: reading the
             # device array back each step would force a dispatch sync
             n_tokens = int(np.sum(data["segment_ids"] > 0))
-            sharded = mesh_lib.shard_batch(self.mesh, data)
+            sharded = self._shard(data)
             sharded["_host_token_count"] = n_tokens
             yield sharded
+
+    def _shard(self, data: Dict) -> Dict:
+        """Device-put a host batch over the mesh and merge in the replicated
+        per-run constants (percentile boundary tables)."""
+        sharded = mesh_lib.shard_batch(self.mesh, data)
+        sharded.update(self._const_batch)
+        return sharded
 
     def run(self, max_steps: Optional[int] = None):
         cfg = self.cfg.training
@@ -330,7 +377,7 @@ class PretrainPipeline:
             # log_eval_dump_utils.py:284-291)
             losses = []
             for batch in self._eval_batches(self.valid_idx[:512]):
-                b = mesh_lib.shard_batch(self.mesh, dict(batch.data))
+                b = self._shard(dict(batch.data))
                 out = self.eval_step(self.state, b)
                 losses.append(float(out["loss"]))
             loss = mesh_lib.cross_host_mean_scalar(losses)
@@ -345,7 +392,7 @@ class PretrainPipeline:
         idx = self.valid_idx if len(self.valid_idx) else self.train_idx[:512]
         with self.mesh:
             for batch in self.loader.epoch_batches(idx[:512], epoch=0):
-                b = mesh_lib.shard_batch(self.mesh, dict(batch.data))
+                b = self._shard(dict(batch.data))
                 losses.append(float(self.eval_step(self.state, b)["loss"]))
         res = {"valid_loss": float(np.mean(losses)) if losses else float("nan")}
         res.update(self.evaluate_generation(n_samples=32, n_bands=5))
@@ -360,7 +407,7 @@ class PretrainPipeline:
         chunks = []
         with self.mesh:
             for batch in self.loader.epoch_batches(np.asarray(indices), epoch=0):
-                b = mesh_lib.shard_batch(self.mesh, dict(batch.data))
+                b = self._shard(dict(batch.data))
                 out = self.eval_step(self.state, b)
                 hidden = out.get("hidden_states")
                 if hidden is None:

@@ -143,11 +143,39 @@ def is_better(new: Dict[str, float], best: Dict[str, float], key: str) -> bool:
     return (new[key] > best[key]) if hb else (new[key] < best[key])
 
 
+# priority order for picking the task's primary metric when an eval dict
+# carries several (e.g. hits@20/50/100): the reference asserts exactly one
+# 'ema' key (metrics_utils.py:192-208); our _epoch_eval prefixes every
+# metric with ema_, so the primary must be chosen explicitly, never
+# alphabetically.
+_PRIMARY_PRIORITY = ("mrr", "hits", "ap", "auroc", "acc", "mae", "mse", "loss")
+
+
+def primary_metric_key(keys) -> str:
+    """Deterministic primary-metric choice: highest-priority metric family;
+    within a hits@K family, the largest K (the OGB headline metric)."""
+    keys = list(keys)
+    for fam in _PRIMARY_PRIORITY:
+        fam_keys = [k for k in keys if fam in k.lower()]
+        if fam_keys:
+            if fam == "hits":
+
+                def _k(key):
+                    tail = key.lower().split("hits@")[-1]
+                    digits = "".join(c for c in tail if c.isdigit())
+                    return int(digits) if digits else 0
+
+                return max(fam_keys, key=_k)
+            return sorted(fam_keys)[0]
+    return sorted(keys)[0]
+
+
 def compare_metrics_res(curr: Dict[str, float], prev_best: Dict[str, float]):
     """EMA-best comparison with the reference's key-selection rule
     (metrics_utils.py:192-208): a single-key dict compares on that key;
-    otherwise the unique key containing 'ema' is used. Direction is
-    lower-better when the key mentions mae/loss/mse, else higher-better.
+    otherwise the task's primary metric among the 'ema' keys is used
+    (the reference asserts exactly one — see primary_metric_key). Direction
+    is lower-better when the key mentions mae/loss/mse, else higher-better.
     Returns (improved_flag, best_res)."""
     if not curr:
         return False, prev_best
@@ -155,7 +183,7 @@ def compare_metrics_res(curr: Dict[str, float], prev_best: Dict[str, float]):
         key = next(iter(curr))
     else:
         ema_keys = [k for k in curr if "ema" in k.lower()]
-        key = ema_keys[0] if len(ema_keys) == 1 else sorted(curr)[0]
+        key = primary_metric_key(ema_keys if ema_keys else curr)
     if not prev_best or key not in prev_best:
         return True, dict(curr)
     lower_better = any(tok in key.lower() for tok in ("mae", "loss", "mse"))

@@ -175,3 +175,78 @@ def test_generation_eval_full_sweep(tmp_path):
     assert set(res) == {"gen_acc@umr_0.0-0.5", "gen_acc@umr_0.5-1.0"}
     for v in res.values():
         assert 0.0 <= v <= 1.0
+
+
+def _pos_graphs_npz(path, n_graphs=24, seed=0):
+    """Graph-level store with 3D positions (for coord pretrain)."""
+    rng = np.random.default_rng(seed)
+    node_attr, pos_rows, edge_cols = [], [], []
+    node_ptr, edge_ptr, ys = [0], [0], []
+    for g in range(n_graphs):
+        n = int(rng.integers(4, 12))
+        src = np.arange(n - 1)
+        ei = np.stack(
+            [np.concatenate([src, src + 1]), np.concatenate([src + 1, src])]
+        )
+        node_attr.append(rng.integers(0, 5, size=(n, 2)).astype(np.int32))
+        pos_rows.append(rng.normal(0, 2, size=(n, 3)).astype(np.float32))
+        edge_cols.append(ei + node_ptr[-1])
+        node_ptr.append(node_ptr[-1] + n)
+        edge_ptr.append(edge_ptr[-1] + ei.shape[1])
+        ys.append(float(g))
+    np.savez(
+        path,
+        node_attr=np.concatenate(node_attr),
+        pos=np.concatenate(pos_rows),
+        edge_index=np.concatenate(edge_cols, axis=1).astype(np.int32),
+        node_ptr=np.asarray(node_ptr, np.int64),
+        edge_ptr=np.asarray(edge_ptr, np.int64),
+        y=np.asarray(ys, np.float32)[:, None],
+        train_idx=np.arange(0, 16, dtype=np.int64),
+        valid_idx=np.arange(16, 20, dtype=np.int64),
+        test_idx=np.arange(20, 24, dtype=np.int64),
+    )
+
+
+def test_coord_pipeline_percentile_boundaries(tmp_path):
+    """With dataset_policy.pos_percentile_bounds=true the pipeline selects
+    the pos-pretrain model family AND propagates the dataset's dict_bounds
+    into every device batch as pos_boundaries_{num_bins} (ADVICE r2: the
+    key was never injected, silently falling back to uniform binning;
+    reference propagation at pipeline.py:159-162)."""
+    from graphgpt_tpu.models import pos_pretrain
+    from graphgpt_tpu.training.pipeline import PretrainPipeline
+
+    d = tmp_path / "pcqm4m-v2"
+    d.mkdir()
+    _pos_graphs_npz(d / "graphs.npz")
+    cfg = _base_cfg(tmp_path, task="pretrain-coord")
+    cfg.tokenization.dataset = "pcqm4m-v2"
+    cfg.tokenization.data_dir = str(tmp_path)
+    cfg.tokenization.dataset_policy = {"pos_percentile_bounds": True}
+    cfg.tokenization.semantics.node.dim = 2
+    cfg.tokenization.semantics.edge.discrete = None
+    cfg.tokenization.semantics.edge.dim = 0
+    cfg.model.pos_num_bins = 128
+    cfg.model.pos_problem_type = "pos-smtp-line"
+    cfg.training.batch_size = 8
+    cfg.training.max_length = 64
+    cfg.training.schedule.total_num_steps = 2
+    cfg.training.schedule.warmup_num_steps = 1
+    pipe = PretrainPipeline(cfg).setup()
+    try:
+        assert pipe.forward_fn is pos_pretrain.pos_pred_forward
+        assert "pos_boundaries_128" in pipe._const_batch
+        # batches carry the boundaries end-to-end and the step runs
+        batch = next(pipe._device_batches(epoch=0))
+        assert "pos_boundaries_128" in batch
+        batch.pop("_host_token_count", None)
+        import jax
+
+        with pipe.mesh:
+            state, metrics = pipe.train_step(
+                pipe.state, batch, jax.random.PRNGKey(0)
+            )
+        assert np.isfinite(float(metrics["loss"]))
+    finally:
+        pipe.loader.close()
