@@ -338,6 +338,9 @@ class TrainingConfig:
     eval_only: bool = False
     # FT eval parity knobs (reference train_cfg.ft_eval, finetune_mode.py):
     k_samplers: int = 256  # train-subset eval size (ft_eval.k_samplers)
+    # TensorBoard event files under output_dir/summary (rank 0 only; off by
+    # default like the reference's use_tb_writer, pretrain_mode.py:316)
+    use_tb_writer: bool = False
     save_pred: bool = False  # dump per-split prediction csv at each eval
     dump_infer: bool = False  # dump test logits + pooled hidden states
     # north-star distributed input (SURVEY.md §2.2): edge-partition the

@@ -57,6 +57,11 @@ class Graph:
                 return arr[inv]
             return arr
 
+        extra = self.extra
+        if "a2d" in extra:
+            # a2d holds node IDS (values, not node-aligned rows): remap
+            extra = dict(extra)
+            extra["a2d"] = permu[extra["a2d"]]
         return Graph(
             num_nodes=self.num_nodes,
             edge_index=permu[self.edge_index],
@@ -69,7 +74,7 @@ class Graph:
             tgt_edge_attr=self.tgt_edge_attr,
             wgt=self.wgt,
             idx=self.idx,
-            extra=self.extra,
+            extra=extra,
         )
 
 
@@ -210,7 +215,7 @@ class GraphBatchStore:
     def get(self, idx: int) -> Graph:
         n0, n1 = self._node_ptr[idx], self._node_ptr[idx + 1]
         e0, e1 = self._edge_ptr[idx], self._edge_ptr[idx + 1]
-        return Graph(
+        g = Graph(
             num_nodes=int(n1 - n0),
             edge_index=self.edge_index[:, e0:e1] - np.int32(n0),
             node_attr=None if self.node_attr is None else self.node_attr[n0:n1],
@@ -219,3 +224,13 @@ class GraphBatchStore:
             pos=None if self._pos is None else self._pos[n0:n1],
             idx=int(idx),
         )
+        # OneID instruction columns (graph-local node-id pairs + key type;
+        # reference graph.a2d / graph.key_type, instruct_tuning_utils.py:102-156)
+        a2d = getattr(self, "_a2d", None)
+        a2d_ptr = getattr(self, "_a2d_ptr", None)
+        if a2d is not None and a2d_ptr is not None:
+            g.extra["a2d"] = a2d[a2d_ptr[idx] : a2d_ptr[idx + 1]]
+        key_type = getattr(self, "_key_type", None)
+        if key_type is not None:
+            g.extra["key_type"] = key_type[idx]
+        return g

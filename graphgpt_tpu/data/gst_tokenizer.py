@@ -278,22 +278,32 @@ class GSTTokenizer:
         tokens: list = []
         labels: list = []
         nx_funcs = list(self.cfg.structure.nx_funcs)
+        inst_funcs = list(self.cfg.semantics.instruct_funcs)
+        node_token_ids = None
+        if nx_funcs or inst_funcs:
+            # raw node id -> its (low) structure token under this walk's
+            # re-indexing, shared by nx tasks and a2d instructions
+            node_token_ids = np.zeros(graph.num_nodes, np.int32)
+            node_token_ids[walk] = self.low_ids[np.asarray(ranks) % self.base]
         if nx_funcs:
             from .structure_tasks import structure_task_tokens
 
-            node_token_ids = np.zeros(graph.num_nodes, np.int32)
-            node_token_ids[walk] = self.low_ids[np.asarray(ranks) % self.base]
             t, l = structure_task_tokens(
                 graph, nx_funcs, node_token_ids, self.cfg, self.vocab_map, self.eos_id, rng
             )
             tokens += t
             labels += l
-        inst_funcs = list(self.cfg.semantics.instruct_funcs)
         if inst_funcs:
             from .structure_tasks import instruction_tokens
 
             t, l = instruction_tokens(
-                graph, inst_funcs, self.cfg, self.vocab_map, self.eos_id, rng
+                graph,
+                inst_funcs,
+                self.cfg,
+                self.vocab_map,
+                self.eos_id,
+                rng,
+                node_token_ids=node_token_ids,
             )
             tokens += t
             labels += l

@@ -166,7 +166,7 @@ def structure_task_tokens(
 # Instruction tuning
 # ---------------------------------------------------------------------------
 @_instruct("homo_lumo")
-def _homo_lumo(graph: Graph, *, cfg, vocab_map, eos_id, rng, mask_ratio: float = 0.0):
+def _homo_lumo(graph: Graph, *, cfg, vocab_map, eos_id, rng, mask_ratio: float = 0.0, **kw):
     """<semantics_0> <digits of y> with NTP labels
     (instruct_tuning_utils.py:51-77)."""
     y = np.asarray(graph.y).reshape(-1)
@@ -195,6 +195,25 @@ def _cepdb_props(graph: Graph, *, cfg, vocab_map, eos_id, rng, **kw):
         tokens += blocks[i][0]
         labels += blocks[i][1]
     return tokens, labels
+
+
+@_instruct("a2d")
+def _acc2device(graph: Graph, *, cfg, vocab_map, eos_id, rng, node_token_ids=None, **kw):
+    """OneID account->device instruction stream (reference _obtain_acc2device,
+    instruct_tuning_utils.py:102-118): the reserved token selected by the
+    graph's key_type, followed by the walk-re-indexed structure tokens of
+    each (account, device) node pair. The reference's generator emits no
+    label stream (its follow_instructions integration is incomplete); ours
+    follows the homo_lumo convention — NTP labels with the instruction
+    prompt skipped."""
+    a2d = graph.extra.get("a2d")
+    if a2d is None or len(a2d) == 0 or node_token_ids is None:
+        return [], []
+    key_type = int(np.asarray(graph.extra.get("key_type", 0)))
+    flat = np.asarray(a2d, np.int64).reshape(-1)
+    tokens = [_reserved_id(cfg, "semantics", key_type, vocab_map)]
+    tokens += [int(node_token_ids[n]) for n in flat]
+    return tokens, _ntp_labels(tokens, 1, eos_id)
 
 
 def instruction_tokens(

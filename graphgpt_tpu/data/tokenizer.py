@@ -192,7 +192,44 @@ class StackedGSTTokenizer:
                 )
             ids[:p0, col : col + self.edge_dim] = eattr
         ids[p0] = self.eos_id  # eos row
+        inst = self._instruct_rows(graph, walk, ranks)
+        if inst is not None:
+            ids = np.concatenate([ids, inst], axis=0)
         return ids, walk, ranks
+
+    def _instruct_rows(self, graph: Graph, walk, ranks):
+        """Stacked a2d instruction rows appended after the eos row
+        (reference _obtain_stacked_acc2device + the stacked tokenize
+        integration, instruct_tuning_utils.py:121-151, tokenizer.py:1090-1103):
+        one key_type reserved-token header row, then a full stacked row
+        (idx token + node attrs + default edge attrs) per (account, device)
+        node."""
+        if "a2d" not in getattr(self.cfg.semantics, "instruct_funcs", ()):
+            return None
+        a2d = graph.extra.get("a2d")
+        if a2d is None or len(a2d) == 0:
+            return None
+        key_type = int(np.asarray(graph.extra.get("key_type", 0)))
+        reserved = self.cfg.semantics.reserved_tokens[key_type]
+        rid = self.vocab_map.get(reserved)
+        if rid is None:
+            raise ValueError(f"reserved token {reserved!r} missing from vocab")
+        flat = np.asarray(a2d, np.int64).reshape(-1)
+        # raw node -> rank under this walk's re-indexing
+        node_rank = np.zeros(graph.num_nodes, np.int64)
+        node_rank[walk] = np.asarray(ranks)
+        rows = np.empty((1 + len(flat), self.stacked_feat), np.int32)
+        rows[0] = rid  # header row, all feature slots
+        rows[1:, 0] = self.node_idx_ids[node_rank[flat]]
+        col = 1
+        if self.node_dim:
+            rows[1:, col : col + self.node_dim] = self.node_lookup(
+                getattr(graph, "node_attr")[flat]
+            )
+            col += self.node_dim
+        if self.edge_dim:
+            rows[1:, col : col + self.edge_dim] = self.edge_lookup.default_ids
+        return rows
 
     def target_token_ids(self, graph: Graph, walk: np.ndarray, ranks: np.ndarray):
         """Structural idx token ids for root_n_id (node / edge tasks)."""

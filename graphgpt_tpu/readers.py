@@ -54,6 +54,15 @@ class NpzGraphStore(GraphBatchStore):
         self.edge_attr = data["edge_attr"].astype(np.int32) if "edge_attr" in data else None
         self._ys = data["y"].astype(np.float32) if "y" in data else None
         self._pos = data["pos"].astype(np.float32) if "pos" in data else None
+        # OneID account->device pairs, graph-LOCAL node ids, sliced by
+        # a2d_ptr; key_type [G] selects the reserved instruction token
+        # (reference OneIDSmallDataset columns, dataset_utils.py:1303;
+        # consumed by the a2d/a2d-stack instruction generators)
+        self._a2d = data["a2d"].astype(np.int64) if "a2d" in data else None
+        self._a2d_ptr = data["a2d_ptr"].astype(np.int64) if "a2d_ptr" in data else None
+        self._key_type = (
+            data["key_type"].astype(np.int64) if "key_type" in data else None
+        )
         self.splits = {
             k: data[f"{k}_idx"].astype(np.int64)
             for k in ("train", "valid", "test")

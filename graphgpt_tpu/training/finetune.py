@@ -145,6 +145,15 @@ class FinetunePipeline:
         )
         self.logger = CsvLogger(os.path.join(tcfg.output_dir, "loss.csv"))
         self.results = CsvLogger(os.path.join(tcfg.output_dir, "result.csv"))
+        from ..utils.tb_writer import maybe_tb_writer
+
+        # reference gates the FT writer on (rank 0, not eval_only)
+        # (ft_dump_cfg_and_init_tb, log_eval_dump_utils.py:852-866)
+        self.tb = maybe_tb_writer(
+            tcfg.output_dir,
+            tcfg.use_tb_writer and not tcfg.eval_only,
+            jax.process_index(),
+        )
         self.best: Dict[str, float] = {}
         self.ema_best: Dict[str, float] = {}
         if jax.process_index() == 0:
@@ -283,6 +292,16 @@ class FinetunePipeline:
         log_line(f"eval epoch {epoch}: {res}")
         if jax.process_index() == 0:
             self.results.log(res)
+        if self.tb is not None:
+            for k, v in res.items():
+                if isinstance(v, float) and np.isfinite(v):
+                    self.tb.add_scalar(f"eval/{k}", v, epoch)
+            # per-epoch parameter histograms (log_eval_dump_utils.py:802-805)
+            leaves = jax.tree_util.tree_flatten_with_path(self.state.params)[0]
+            for path, leaf in leaves:
+                name = "/".join(str(getattr(p, "key", p)) for p in path)
+                self.tb.add_histogram(f"params/{name}", np.asarray(leaf), epoch)
+            self.tb.flush()
         # prediction dumps per split (ft_eval.save_pred)
         if tcfg.save_pred and jax.process_index() == 0:
             out = tcfg.output_dir
@@ -352,6 +371,8 @@ class FinetunePipeline:
                     self._epoch_eval(epoch, global_step)
         self.ckpt.wait()
         self.ckpt_ema_best.wait()
+        if self.tb is not None:
+            self.tb.close()
         return self.best
 
 

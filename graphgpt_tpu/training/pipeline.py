@@ -259,6 +259,11 @@ class PretrainPipeline:
         if jax.process_index() == 0:
             save_run_config(tcfg.output_dir, config_to_dict(cfg))
         self.logger = CsvLogger(os.path.join(tcfg.output_dir, "log.csv"))
+        from ..utils.tb_writer import maybe_tb_writer
+
+        self.tb = maybe_tb_writer(
+            tcfg.output_dir, tcfg.use_tb_writer, jax.process_index()
+        )
         return self
 
     def _device_batches(self, epoch: int) -> Iterator[Dict]:
@@ -338,6 +343,15 @@ class PretrainPipeline:
                             f"lr {m.get('lr', 0):.2e} tok/s {m['tokens_per_s']:.0f}"
                         )
                         self.logger.log(m)
+                        if self.tb is not None:
+                            # scalar logging per interval (reference
+                            # log_pt_training_stats tb branch,
+                            # log_eval_dump_utils.py:538-540)
+                            for key in ("loss", "lr", "tokens_per_s", "mfu"):
+                                if key in m:
+                                    self.tb.add_scalar(
+                                        f"train/{key}", m[key], global_step
+                                    )
                     if (
                         cfg.schedule.steps_per_saving
                         and global_step % cfg.schedule.steps_per_saving == 0
@@ -348,6 +362,8 @@ class PretrainPipeline:
                 epoch += 1
         self._save_and_eval(global_step, epoch)
         self.ckpt.wait()
+        if self.tb is not None:
+            self.tb.close()
         self.loader.close()  # terminate worker pool before interpreter exit
         return self.state
 
@@ -372,6 +388,14 @@ class PretrainPipeline:
 
     def _save_and_eval(self, step: int, epoch: int):
         self.ckpt.save(step, self.state, {"step": step, "epoch": epoch})
+        if self.tb is not None:
+            # parameter histograms per checkpoint (reference
+            # log_eval_dump_utils.py:642-645)
+            leaves = jax.tree_util.tree_flatten_with_path(self.state.params)[0]
+            for path, leaf in leaves:
+                name = "/".join(str(getattr(p, "key", p)) for p in path)
+                self.tb.add_histogram(f"params/{name}", np.asarray(leaf), step)
+            self.tb.flush()
         if self.cfg.training.do_valid and len(self.valid_idx) > 0:
             # cross-host-reduced mean (reference dist.reduce of eval loss,
             # log_eval_dump_utils.py:284-291)
@@ -383,6 +407,8 @@ class PretrainPipeline:
             loss = mesh_lib.cross_host_mean_scalar(losses)
             if np.isfinite(loss):
                 log_line(f"valid loss @ step {step}: {loss:.4f}")
+                if self.tb is not None:
+                    self.tb.add_scalar("valid/loss", loss, step)
 
     def evaluate_only(self) -> Dict[str, float]:
         """PT eval-only flow (reference pt_eval_only / eval_pt_gen_only,
@@ -395,7 +421,10 @@ class PretrainPipeline:
                 b = self._shard(dict(batch.data))
                 losses.append(float(self.eval_step(self.state, b)["loss"]))
         res = {"valid_loss": float(np.mean(losses)) if losses else float("nan")}
-        res.update(self.evaluate_generation(n_samples=32, n_bands=5))
+        # full validation sweep over all 10 unmask-ratio bands, matching the
+        # reference's eval-only flow (eval_pt_gen_only sweeps the whole
+        # loader, log_eval_dump_utils.py:450-501)
+        res.update(self.evaluate_generation(n_bands=10))
         log_line(f"eval-only results: {res}")
         return res
 

@@ -266,3 +266,82 @@ def test_flat_pretrain_euler_gating():
     # the prefix (everything before the first pad) carries no supervision
     first_pad = int(np.flatnonzero(s.labels == LABEL_PAD_ID)[0])
     assert np.flatnonzero(sup)[0] > first_pad
+
+
+def _with_a2d(g, rng):
+    """Attach OneID a2d pairs + key_type to a synthetic molecule."""
+    pairs = np.stack(
+        [rng.choice(g.num_nodes, 2, replace=False) for _ in range(2)]
+    ).astype(np.int64)
+    g.extra["a2d"] = pairs
+    g.extra["key_type"] = np.int64(1)
+    return g
+
+
+def test_a2d_instruction_stream_flat():
+    """OneID a2d generator (reference _obtain_acc2device,
+    instruct_tuning_utils.py:102-118): key_type reserved token + the
+    walk-re-indexed structure tokens of each (account, device) pair."""
+    tok, vm = make()
+    tok.cfg.semantics.instruct_funcs = ("a2d",)
+    rng = np.random.default_rng(0)
+    ds = SyntheticMolDataset(4, seed=0)
+    g = _with_a2d(ds[0], rng)
+    s = tok(g, np.random.default_rng(0))
+    toks = s.input_ids.tolist()
+    i = toks.index(vm["semantics_1"])  # key_type=1 selects reserved token 1
+    # 4 node tokens follow the instruction marker
+    tail = toks[i + 1 : i + 5]
+    assert len(tail) == 4
+    low = set(tok.low_ids.tolist())
+    assert all(t in low for t in tail)
+    # NTP labels: marker skipped, node tokens supervised
+    assert s.labels[i] == LABEL_PAD_ID
+    assert s.labels[i + 1] == toks[i + 2]
+
+
+def test_a2d_instruction_rows_stacked():
+    """Stacked a2d-stack rows (reference _obtain_stacked_acc2device,
+    instruct_tuning_utils.py:121-151): header row of the reserved token,
+    then one full stacked row per a2d node after the eos row."""
+    from graphgpt_tpu.config import TokenizationConfig
+    from graphgpt_tpu.data.tokenizer import StackedGSTTokenizer
+
+    cfg = TokenizationConfig()
+    cfg.semantics.node.discrete = "node_attr"
+    cfg.semantics.node.dim = 9
+    cfg.semantics.edge.discrete = "edge_attr"
+    cfg.semantics.edge.dim = 3
+    cfg.semantics.instruct_funcs = ("a2d",)
+    vocab = V.build_vocab(
+        cfg, [np.arange(c) for c in MOL_NODE_CARD], [np.arange(c) for c in MOL_EDGE_CARD]
+    )
+    vm = V.vocab_map_from_list(vocab)
+    stok = StackedGSTTokenizer(cfg, vm, task_type="pretrain")
+    rng = np.random.default_rng(0)
+    ds = SyntheticMolDataset(4, seed=0)
+    g = _with_a2d(ds[0], rng)
+    s = stok(g, np.random.default_rng(0))
+    ids = s.input_ids
+    assert ids.ndim == 2
+    # find the header row (reserved token in every slot)
+    hdr = np.flatnonzero((ids == vm["semantics_1"]).all(axis=1))
+    assert len(hdr) == 1
+    r = int(hdr[0])
+    # eos row directly precedes the instruction block; 4 node rows follow
+    assert (ids[r - 1] == stok.eos_id).all()
+    assert ids.shape[0] == r + 5
+    flat = g.extra["a2d"].reshape(-1)
+    expect_attr = stok.node_lookup(g.node_attr[flat])
+    np.testing.assert_array_equal(ids[r + 1 :, 1:10], expect_attr)
+
+
+def test_permute_remaps_a2d():
+    ds = SyntheticMolDataset(4, seed=0)
+    rng = np.random.default_rng(0)
+    g = _with_a2d(ds[0], rng)
+    attrs_before = g.node_attr[g.extra["a2d"].reshape(-1)]
+    g2 = g.permute_nodes(np.random.default_rng(7))
+    attrs_after = g2.node_attr[g2.extra["a2d"].reshape(-1)]
+    # relabelled ids still point at the same underlying nodes
+    np.testing.assert_array_equal(attrs_before, attrs_after)

@@ -250,3 +250,23 @@ def test_coord_pipeline_percentile_boundaries(tmp_path):
         assert np.isfinite(float(metrics["loss"]))
     finally:
         pipe.loader.close()
+
+
+def test_evaluate_only_full_gen_sweep(tmp_path):
+    """evaluate_only defaults to the FULL 10-band generation sweep over the
+    whole validation subset (reference eval_pt_gen_only,
+    log_eval_dump_utils.py:450-501) — the 32-sample/5-band cap is gone."""
+    from graphgpt_tpu.training.pipeline import PretrainPipeline
+
+    cfg = _base_cfg(tmp_path)
+    cfg.training.valid_percent = 0.2
+    cfg.generation.steps = 2
+    pipe = PretrainPipeline(cfg).setup()
+    try:
+        pipe.valid_idx = pipe.valid_idx[:8]  # shrink for test speed
+        res = pipe.evaluate_only()
+    finally:
+        pipe.loader.close()
+    gen_keys = [k for k in res if k.startswith("gen_acc@umr_")]
+    assert len(gen_keys) == 10, sorted(res)
+    assert "valid_loss" in res

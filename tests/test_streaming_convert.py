@@ -84,3 +84,45 @@ def test_weight_conversion_roundtrip():
     np.testing.assert_allclose(
         np.asarray(back["stacked_agg_w"]), np.asarray(params["stacked_agg_w"]), rtol=1e-6
     )
+
+
+def test_featurize_mol_collate_roundtrip(tmp_path):
+    """tools/featurize_mol.py npz assembly (rdkit-free layer): collated
+    output is loadable by NpzGraphStore with identical per-graph slices;
+    failed conversions (None) are skipped with their labels."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from featurize_mol import collate_graphs
+
+    from graphgpt_tpu.readers import NpzGraphStore
+
+    rng = np.random.default_rng(0)
+    graphs, ys = [], []
+    for k in range(5):
+        if k == 2:
+            graphs.append(None)  # failed conversion is skipped
+            ys.append(99.0)
+            continue
+        n = int(rng.integers(2, 6))
+        src = np.arange(n - 1)
+        ei = np.stack([np.concatenate([src, src + 1]), np.concatenate([src + 1, src])])
+        graphs.append(
+            {
+                "node_attr": rng.integers(0, 9, size=(n, 9)),
+                "edge_index": ei,
+                "edge_attr": rng.integers(0, 3, size=(ei.shape[1], 3)),
+                "pos": rng.normal(size=(n, 3)).astype(np.float32),
+            }
+        )
+        ys.append(float(k))
+    out = collate_graphs(graphs, ys)
+    path = tmp_path / "graphs.npz"
+    np.savez(path, **out)
+    store = NpzGraphStore(str(path))
+    assert len(store) == 4
+    assert [float(y) for y in store._ys.reshape(-1)] == [0.0, 1.0, 3.0, 4.0]
+    g1 = store.get(1)
+    np.testing.assert_array_equal(g1.node_attr, graphs[1]["node_attr"])
+    np.testing.assert_array_equal(g1.edge_index, graphs[1]["edge_index"])
+    np.testing.assert_array_equal(g1.pos, graphs[1]["pos"])

@@ -21,6 +21,16 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _enable_compile_cache():
+    import jax
+
+    d = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+    os.makedirs(d, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", d)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
 def run(mode: str, batch_size: int, seq: int, n_steps: int = 10):
     import jax
 
@@ -108,6 +118,7 @@ if __name__ == "__main__":
     ap.add_argument("--seq", type=int, default=1024)
     ap.add_argument("--steps", type=int, default=10)
     args = ap.parse_args()
+    _enable_compile_cache()
     for m in args.mode or ["attn=pallas"]:
         try:
             run(m, args.batch, args.seq, args.steps)
