@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from typing import Any, Dict, Optional
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_name
@@ -299,6 +301,11 @@ def backbone_apply(
         gate = _act(cfg.hidden_act)(hpre @ lp["gate"].astype(dt))
         up = hpre @ lp["up"].astype(dt)
         gated = checkpoint_name(gate * up, "mlp_gated")
+        if os.environ.get("GGT_MLP_BARRIER", "0") == "1":
+            # split the up->down->residual mega-fusion XLA otherwise emits
+            # as one serial convolution (profiled at 1.7x the two matmuls'
+            # ideal time); sweep knob, see PERF.md
+            gated = jax.lax.optimization_barrier(gated)
         mlp_out = gated @ lp["down"].astype(dt)
         if use_mdrop:
             mlp_out = _dropout(mlp_out, cfg.mlp_dropout, r_mlp, train)
@@ -309,16 +316,35 @@ def backbone_apply(
         x = x + mlp_out
         return x
 
-    x = x.reshape(b * p, d)
+    # scan-carry layout: keep the carry in its [B, P, D] shape and reshape
+    # to the flat token axis inside the body. With a 2D [B*P, D] carry
+    # XLA's layout assignment picks tokens-minor {0,1} for the carry AND
+    # the scan's saved-xs stack, which lowers the MLP matmuls as
+    # batch-in-lanes convolutions (profiled: down-proj at 4x ideal time);
+    # the 3D carry bitcasts freely to the canonical {1,0} (measured +7.3%
+    # step throughput on v5e, 87.5k -> 93.9k tokens/s). GGT_CARRY3D=0
+    # restores the flat carry for A/B sweeps.
+    import os as _os
+
+    carry3d = _os.environ.get("GGT_CARRY3D", "1") == "1"
 
     def layer_fn(carry, scanned):
         lp, dp_rate, idx = scanned
+        if carry3d:
+            out = apply_one(carry.reshape(b * p, d), lp, dp_rate, idx)
+            return out.reshape(b, p, d), None
         return apply_one(carry, lp, dp_rate, idx), None
+
+    if not carry3d:
+        x = x.reshape(b * p, d)
 
     group = {"pairs": 2, "quads": 4}.get(cfg.remat_policy, 1)
     if cfg.remat and group > 1 and n_layers % group == 0:
         # checkpoint at layer-group granularity: divides recompute cost by
         # `group` for (group-1) extra saved activations per segment
+        if carry3d:
+            x = x.reshape(b * p, d)  # group path keeps the flat carry
+            carry3d = False
         grouped = jax.tree_util.tree_map(
             lambda a: a.reshape((n_layers // group, group) + a.shape[1:]),
             params["layers"],

@@ -413,10 +413,15 @@ def _dkv_kernel_stream(
 def _flash_bwd(q, k, v, segment_ids, out, lse, do, causal, h, dh):
     b, p, hd = q.shape
     seg3 = segment_ids.reshape(b, 1, p)
+    # fp32 accumulation WITHOUT materialising fp32 copies of do/out:
+    # an explicit .astype(f32) here produced two 200MB fp32 tensors (plus
+    # layout copies) per layer in the profile; preferred_element_type keeps
+    # the upcast inside the reduction
     delta = jnp.einsum(
         "bphd,bphd->bhp",
-        do.astype(jnp.float32).reshape(b, p, h, dh),
-        out.astype(jnp.float32).reshape(b, p, h, dh),
+        do.reshape(b, p, h, dh),
+        out.reshape(b, p, h, dh),
+        preferred_element_type=jnp.float32,
     )
     if p <= _MAX_SINGLE_BLOCK:
         return _flash_bwd_fused(q, k, v, seg3, delta, lse, do, causal, h, dh)
@@ -485,11 +490,14 @@ def _flash_bwd(q, k, v, segment_ids, out, lse, do, causal, h, dh):
     return dq, dk, dv
 
 
+_BQ_BWD = int(os.environ.get("GGT_FLASH_BQ_BWD", "0"))  # 0 -> _BQ_TARGET
+
+
 def _flash_bwd_fused(q, k, v, seg3, delta, lse, do, causal, h, dh):
     """One pallas_call producing (dq, dk, dv) when the whole kv axis fits a
     single tile; see _bwd_kernel_fused."""
     b, p, hd = q.shape
-    bq, bk = _pick_block(p), p
+    bq, bk = _pick_block(p, _BQ_BWD), p
     nq = p // bq
     qspec = pl.BlockSpec((1, bq, hd), lambda b, i: (b, i, 0))
     kspec = pl.BlockSpec((1, bk, hd), lambda b, i: (b, 0, 0))

@@ -292,6 +292,39 @@ class PretrainPipeline:
         sharded.update(self._const_batch)
         return sharded
 
+    @staticmethod
+    def _device_prefetch(it: Iterator[Dict], depth: int = 2) -> Iterator[Dict]:
+        """Double-buffer device batches: a background thread runs the
+        host-side batch assembly AND the device_put `depth` batches ahead,
+        so the host->device transfer of batch k+1 overlaps step k's compute
+        (the tunnel/PCIe transfer otherwise serialises with the step and is
+        the main synthetic-vs-pipeline throughput gap)."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=depth)
+        done = object()
+        err: list = []
+
+        def producer():
+            try:
+                for item in it:
+                    q.put(item)
+            except BaseException as e:  # surfaced on the consumer side
+                err.append(e)
+            finally:
+                q.put(done)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is done:
+                if err:
+                    raise err[0]
+                return
+            yield item
+
     def run(self, max_steps: Optional[int] = None):
         cfg = self.cfg.training
         step_limit = min(self.total_steps, max_steps or self.total_steps)
@@ -324,7 +357,7 @@ class PretrainPipeline:
         epoch = self.start_epoch
         with self.mesh:
             while global_step < step_limit:
-                for batch in self._device_batches(epoch):
+                for batch in self._device_prefetch(self._device_batches(epoch)):
                     n_tokens = batch.pop("_host_token_count", 0)
                     self.state, metrics = self.train_step(self.state, batch, rng)
                     global_step += 1
