@@ -125,7 +125,21 @@ def main():
     rng = jax.random.PRNGKey(0)
 
     tokens_per_step = batch_size * seq
-    flops_per_token = 6.0 * n_params  # attention excluded: lower bound
+    # standard training-MFU FLOP count: 6N parameter FLOPs plus the
+    # 12*L*P*H*dh attention term (PaLM appendix B convention; the r2
+    # verdict flagged the previous 6N-only denominator as understating
+    # MFU — utils/logging.train_flops_per_token is the same formula the
+    # training-log MFU column uses)
+    from graphgpt_tpu.utils.logging import train_flops_per_token
+
+    flops_per_token = train_flops_per_token(
+        n_params,
+        seq,
+        cfg.num_hidden_layers,
+        cfg.num_attention_heads,
+        cfg.head_dim,
+        causal=cfg.causal_attention,
+    )
     sol_tokens_per_s = peak_flops_per_chip() / flops_per_token
     metric = "pretrain_tokens_per_sec_per_chip"
 

@@ -65,7 +65,17 @@ def run_pipeline_bench(args, peak_flops: float):
         int(np.prod(np.shape(x)))
         for x in jax.tree_util.tree_leaves(pipe.state.params)
     )
-    sol = peak_flops / (6.0 * n_params)
+    from graphgpt_tpu.utils.logging import train_flops_per_token
+
+    mc = pipe.cfg.model
+    sol = peak_flops / train_flops_per_token(
+        n_params,
+        cfg.training.max_length,
+        mc.num_hidden_layers,
+        mc.num_attention_heads,
+        mc.head_dim,
+        causal=mc.causal_attention,
+    )
     rng = jax.random.PRNGKey(0)
     seq = cfg.training.max_length
 
