@@ -307,6 +307,7 @@ class MeshConfig:
 
     data: int = -1  # -1 => all remaining devices
     fsdp: int = 1
+    seq: int = 1  # ring-attention sequence parallelism (SURVEY §5.7 stretch)
     tensor: int = 1
 
 

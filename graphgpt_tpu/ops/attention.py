@@ -122,6 +122,24 @@ def attention(
         # wins from P=1024 up (its backward avoids the [P,P] probs traffic)
         on_tpu = jax.default_backend() == "tpu"
         impl = "pallas" if (on_tpu and q.shape[1] >= 1024 and bi_causal_split == 0) else "xla"
+    if impl == "ring":
+        # sequence-parallel ring attention over the mesh's `seq` axis
+        # (SURVEY §5.7 stretch; reference has no CP/SP at all)
+        from ..parallel.mesh import current_mesh
+        from ..parallel.ring_attention import ring_attention_sharded
+
+        assert not causal and bi_causal_split == 0, (
+            "ring attention currently supports the bidirectional "
+            "segment-masked setting (the flagship pretrain configs)"
+        )
+        mesh = current_mesh()
+        assert mesh is not None and "seq" in mesh.shape, (
+            "attn_impl='ring' needs an active `with mesh:` context whose "
+            "mesh has a 'seq' axis"
+        )
+        return ring_attention_sharded(
+            q, k, v, segment_ids, mesh, softmax_scale=softmax_scale
+        )
     if impl == "pallas":
         from .flash_attention import flash_attention
 

@@ -158,13 +158,15 @@ def _fwd_kernel_stream(
             lse_ref[0, i] = jnp.where(l[:, 0] == 0.0, _NEG_INF, lse)
 
 
-def _flash_fwd(q, k, v, segment_ids, causal, bq, bk, h, dh):
-    """q,k,v: [B, P, H*Dh] with q pre-scaled; segment_ids: [B, P].
+def _flash_fwd(q, k, v, seg_q, seg_k, causal, bq, bk, h, dh):
+    """q,k,v: [B, P, H*Dh] with q pre-scaled; seg_q/seg_k: [B, P] (distinct
+    arrays for ring-attention chunks where the kv segments rotate).
 
     Returns out [B, P, H*Dh] and lse [B, H, P]."""
     b, p, hd = q.shape
     nq, nk = p // bq, p // bk
-    seg3 = segment_ids.reshape(b, 1, p)
+    segq3 = seg_q.reshape(b, 1, p)
+    segk3 = seg_k.reshape(b, 1, p)
     qspec = pl.BlockSpec((1, bq, hd), lambda b, i, j: (b, i, 0))
     kspec = pl.BlockSpec((1, bk, hd), lambda b, i, j: (b, j, 0))
     segq = pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i))
@@ -199,7 +201,7 @@ def _flash_fwd(q, k, v, segment_ids, causal, bq, bk, h, dh):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
-    )(q, k, v, seg3, seg3)
+    )(q, k, v, segq3, segk3)
     return out, lse
 
 
@@ -410,9 +412,12 @@ def _dkv_kernel_stream(
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-def _flash_bwd(q, k, v, segment_ids, out, lse, do, causal, h, dh):
+def _flash_bwd(q, k, v, seg_q, seg_k, out, lse, do, causal, h, dh, dlse=None):
+    """dlse: optional [B, H, P] cotangent of the lse output (ring-attention
+    combine); folds into the delta term: ds = p*(dp - delta + dlse)."""
     b, p, hd = q.shape
-    seg3 = segment_ids.reshape(b, 1, p)
+    segq3 = seg_q.reshape(b, 1, p)
+    segk3 = seg_k.reshape(b, 1, p)
     # fp32 accumulation WITHOUT materialising fp32 copies of do/out:
     # an explicit .astype(f32) here produced two 200MB fp32 tensors (plus
     # layout copies) per layer in the profile; preferred_element_type keeps
@@ -423,8 +428,10 @@ def _flash_bwd(q, k, v, segment_ids, out, lse, do, causal, h, dh):
         out.reshape(b, p, h, dh),
         preferred_element_type=jnp.float32,
     )
+    if dlse is not None:
+        delta = delta - dlse.astype(jnp.float32)
     if p <= _MAX_SINGLE_BLOCK:
-        return _flash_bwd_fused(q, k, v, seg3, delta, lse, do, causal, h, dh)
+        return _flash_bwd_fused(q, k, v, segq3, segk3, delta, lse, do, causal, h, dh)
     # dq: whole kv per tile when it fits
     bq = _pick_block(p)
     bk = p if p <= _MAX_SINGLE_BLOCK else _pick_block(p, 1024)
@@ -452,7 +459,7 @@ def _flash_bwd(q, k, v, segment_ids, out, lse, do, causal, h, dh):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
-    )(q, k, v, do, lse, delta, seg3, seg3)
+    )(q, k, v, do, lse, delta, segq3, segk3)
     # dkv: swap the roles — kv tiles on the parallel axis, q streamed
     bq2 = p if p <= _MAX_SINGLE_BLOCK else _pick_block(p, 1024)
     bk2 = _pick_block(p)
@@ -486,14 +493,14 @@ def _flash_bwd(q, k, v, segment_ids, out, lse, do, causal, h, dh):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
-    )(q, k, v, do, lse, delta, seg3, seg3)
+    )(q, k, v, do, lse, delta, segq3, segk3)
     return dq, dk, dv
 
 
 _BQ_BWD = int(os.environ.get("GGT_FLASH_BQ_BWD", "0"))  # 0 -> _BQ_TARGET
 
 
-def _flash_bwd_fused(q, k, v, seg3, delta, lse, do, causal, h, dh):
+def _flash_bwd_fused(q, k, v, segq3, segk3, delta, lse, do, causal, h, dh):
     """One pallas_call producing (dq, dk, dv) when the whole kv axis fits a
     single tile; see _bwd_kernel_fused."""
     b, p, hd = q.shape
@@ -525,7 +532,7 @@ def _flash_bwd_fused(q, k, v, seg3, delta, lse, do, causal, h, dh):
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
-    )(q, k, v, do, lse, delta, seg3, seg3)
+    )(q, k, v, do, lse, delta, segq3, segk3)
     return dq, dk, dv
 
 
@@ -550,23 +557,47 @@ def _fwd_blocks(p: int):
 SAVE_ATTN_NAMES = ("attn_out", "attn_lse")
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
-def _attach_grad(qs, k, v, segment_ids, out, lse, causal, h, dh):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _attach_grad(qs, k, v, seg_q, seg_k, out, lse, causal, h, dh):
     return out
 
 
-def _attach_grad_fwd(qs, k, v, segment_ids, out, lse, causal, h, dh):
-    return out, (qs, k, v, segment_ids, out, lse)
+def _attach_grad_fwd(qs, k, v, seg_q, seg_k, out, lse, causal, h, dh):
+    return out, (qs, k, v, seg_q, seg_k, out, lse)
 
 
 def _attach_grad_bwd(causal, h, dh, residuals, g):
-    qs, k, v, segment_ids, out, lse = residuals
-    dqs, dk, dv = _flash_bwd(qs, k, v, segment_ids, out, lse, g, causal, h, dh)
+    qs, k, v, seg_q, seg_k, out, lse = residuals
+    dqs, dk, dv = _flash_bwd(qs, k, v, seg_q, seg_k, out, lse, g, causal, h, dh)
     # zero cotangents for the (stop-gradiented) out/lse inputs
-    return dqs, dk, dv, None, jnp.zeros_like(out), jnp.zeros_like(lse)
+    return dqs, dk, dv, None, None, jnp.zeros_like(out), jnp.zeros_like(lse)
 
 
 _attach_grad.defvjp(_attach_grad_fwd, _attach_grad_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _attach_grad_lse(qs, k, v, seg_q, seg_k, out, lse, causal, h, dh):
+    """Variant exposing (out, lse) as differentiable outputs — the ring
+    combine consumes lse, so its cotangent must flow: it folds into the
+    kernel's delta term as ds = p * (dp - delta + dlse)."""
+    return out, lse
+
+
+def _attach_grad_lse_fwd(qs, k, v, seg_q, seg_k, out, lse, causal, h, dh):
+    return (out, lse), (qs, k, v, seg_q, seg_k, out, lse)
+
+
+def _attach_grad_lse_bwd(causal, h, dh, residuals, gs):
+    qs, k, v, seg_q, seg_k, out, lse = residuals
+    g_out, g_lse = gs
+    dqs, dk, dv = _flash_bwd(
+        qs, k, v, seg_q, seg_k, out, lse, g_out, causal, h, dh, dlse=g_lse
+    )
+    return dqs, dk, dv, None, None, jnp.zeros_like(out), jnp.zeros_like(lse)
+
+
+_attach_grad_lse.defvjp(_attach_grad_lse_fwd, _attach_grad_lse_bwd)
 
 
 # optionally pad Dh up to the 128-lane MXU width inside the kernels
@@ -576,16 +607,7 @@ _attach_grad.defvjp(_attach_grad_fwd, _attach_grad_bwd)
 _PAD_DH = int(os.environ.get("GGT_PAD_DH", "64"))
 
 
-def flash_attention(
-    q: jnp.ndarray,  # [B, P, H, Dh]
-    k: jnp.ndarray,  # [B, P, Hkv, Dh]
-    v: jnp.ndarray,
-    segment_ids: jnp.ndarray,  # [B, P]
-    causal: bool = False,
-    softmax_scale: Optional[float] = None,
-) -> jnp.ndarray:
-    from jax.ad_checkpoint import checkpoint_name
-
+def _prep(q, k, v, softmax_scale):
     b, p, h, dh = q.shape
     hkv = k.shape[2]
     if hkv != h:
@@ -603,18 +625,69 @@ def flash_attention(
         dh_k = _PAD_DH
     else:
         dh_k = dh
-    qs = qs.reshape(b, p, h * dh_k)
-    kf = k.reshape(b, p, h * dh_k)
-    vf = v.reshape(b, p, h * dh_k)
+    return (
+        qs.reshape(b, p, h * dh_k),
+        k.reshape(b, p, h * dh_k),
+        v.reshape(b, p, h * dh_k),
+        dh_k,
+    )
+
+
+def flash_attention(
+    q: jnp.ndarray,  # [B, P, H, Dh]
+    k: jnp.ndarray,  # [B, P, Hkv, Dh]
+    v: jnp.ndarray,
+    segment_ids: jnp.ndarray,  # [B, P]
+    causal: bool = False,
+    softmax_scale: Optional[float] = None,
+) -> jnp.ndarray:
+    from jax.ad_checkpoint import checkpoint_name
+
+    b, p, h, dh = q.shape
+    qs, kf, vf, dh_k = _prep(q, k, v, softmax_scale)
     bq, bk = _fwd_blocks(p)
     out, lse = _flash_fwd(
         jax.lax.stop_gradient(qs),
         jax.lax.stop_gradient(kf),
         jax.lax.stop_gradient(vf),
-        segment_ids, causal, bq, bk, h, dh_k,
+        segment_ids, segment_ids, causal, bq, bk, h, dh_k,
     )
     out = checkpoint_name(out, "attn_out")
     lse = checkpoint_name(lse, "attn_lse")
-    out = _attach_grad(qs, kf, vf, segment_ids, out, lse, causal, h, dh_k)
+    out = _attach_grad(
+        qs, kf, vf, segment_ids, segment_ids, out, lse, causal, h, dh_k
+    )
     out = out.reshape(b, p, h, dh_k)
     return out[..., :dh] if dh_k != dh else out
+
+
+def flash_attention_chunk(
+    q: jnp.ndarray,  # [B, Pq, H, Dh]
+    k: jnp.ndarray,  # [B, Pk, Hkv, Dh]  (Pk == Pq)
+    v: jnp.ndarray,
+    seg_q: jnp.ndarray,  # [B, Pq]
+    seg_k: jnp.ndarray,  # [B, Pk]
+    softmax_scale: Optional[float] = None,
+):
+    """One ring-attention chunk: q attends the visiting kv block.
+
+    Returns (out, lse) with BOTH outputs differentiable (the ring combine
+    out_tot = sum_i exp(lse_i - lse_tot) out_i consumes lse). Bidirectional
+    segment masking only: the flagship pretrain configs are non-causal
+    (SURVEY §1 L6); causal ring support would add global-offset plumbing.
+    """
+    b, p, h, dh = q.shape
+    assert k.shape[1] == p, "ring chunks must be equal-length"
+    qs, kf, vf, dh_k = _prep(q, k, v, softmax_scale)
+    bq, bk = _fwd_blocks(p)
+    out, lse = _flash_fwd(
+        jax.lax.stop_gradient(qs),
+        jax.lax.stop_gradient(kf),
+        jax.lax.stop_gradient(vf),
+        seg_q, seg_k, False, bq, bk, h, dh_k,
+    )
+    out, lse = _attach_grad_lse(
+        qs, kf, vf, seg_q, seg_k, out, lse, False, h, dh_k
+    )
+    out = out.reshape(b, p, h, dh_k)
+    return (out[..., :dh] if dh_k != dh else out), lse

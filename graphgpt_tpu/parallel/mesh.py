@@ -25,23 +25,39 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import MeshConfig
 
-AXES = ("data", "fsdp", "tensor")
+AXES = ("data", "fsdp", "seq", "tensor")
 
 
 def make_mesh(cfg: Optional[MeshConfig] = None, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     fsdp = cfg.fsdp if cfg else 1
+    seq = getattr(cfg, "seq", 1) if cfg else 1
     tensor = cfg.tensor if cfg else 1
     data = cfg.data if cfg else -1
     if data == -1:
-        assert n % (fsdp * tensor) == 0, f"{n} devices not divisible by fsdp*tensor"
-        data = n // (fsdp * tensor)
-    assert data * fsdp * tensor == n, (
-        f"mesh {data}x{fsdp}x{tensor} != {n} devices"
+        assert n % (fsdp * seq * tensor) == 0, (
+            f"{n} devices not divisible by fsdp*seq*tensor"
+        )
+        data = n // (fsdp * seq * tensor)
+    assert data * fsdp * seq * tensor == n, (
+        f"mesh {data}x{fsdp}x{seq}x{tensor} != {n} devices"
     )
-    arr = np.asarray(devices).reshape(data, fsdp, tensor)
+    arr = np.asarray(devices).reshape(data, fsdp, seq, tensor)
     return Mesh(arr, AXES)
+
+
+def current_mesh() -> Optional[Mesh]:
+    """The mesh entered via `with mesh:` (used by ops that need the mesh at
+    trace time, e.g. the ring-attention shard_map)."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        from jax.interpreters import pxla
+
+        m = pxla.thread_resources.env.physical_mesh
+    return None if m.empty else m
 
 
 def initialize_multihost(
