@@ -143,16 +143,46 @@ def named_sharding_tree(mesh: Mesh, spec_tree):
     )
 
 
+# batch keys whose axis 1 is the SEQUENCE axis (sharded over `seq` when the
+# mesh has sequence parallelism); task labels etc. stay batch-sharded only
+_SEQ_KEYS = frozenset(
+    {
+        "input_ids",
+        "labels",
+        "position_ids",
+        "segment_ids",
+        "attention_mask",
+        "pos",
+        "pos_type",
+        "node_idx",
+        "raw_node_idx",
+        "nodev2_labels",
+    }
+)
+
+
 def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
-    """Device-put host arrays with the batch axis split over data*fsdp.
+    """Device-put host arrays with the batch axis split over data*fsdp (and,
+    for sequence-keyed arrays on a sequence-parallel mesh, the P axis split
+    over `seq` so ring attention consumes them without resharding).
 
     Multi-process: each host passes its LOCAL batch shard and the global
     array is assembled across processes (the jax equivalent of the
     reference's rank-strided samplers, loader_utils.py:70-90)."""
     out = {}
     multi = jax.process_count() > 1
+    seq_n = dict(mesh.shape).get("seq", 1)
     for k, v in batch.items():
-        spec = P(("data", "fsdp"), *([None] * (np.ndim(v) - 1)))
+        nd = np.ndim(v)
+        if (
+            seq_n > 1
+            and nd >= 2
+            and k in _SEQ_KEYS
+            and np.shape(v)[1] % seq_n == 0
+        ):
+            spec = P(("data", "fsdp"), "seq", *([None] * (nd - 2)))
+        else:
+            spec = P(("data", "fsdp"), *([None] * (nd - 1)))
         sharding = NamedSharding(mesh, spec)
         if multi:
             out[k] = jax.make_array_from_process_local_data(sharding, np.asarray(v))

@@ -138,3 +138,17 @@ def _free_port() -> int:
     port = s.getsockname()[1]
     s.close()
     return port
+
+
+@pytest.mark.slow
+def test_scaling_harness_single_host():
+    """tools/bench_scaling.py end to end for hosts=1 (the 1-chip leg of the
+    BASELINE 1-chip/1-host/N-host scaling record)."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from bench_scaling import run_hosts
+
+    r = run_hosts(1, quick=True, devices_per_host=2, force_cpu=True)
+    assert r["hosts"] == 1 and r["devices"] == 2
+    assert r["global_tokens_per_s"] > 0
