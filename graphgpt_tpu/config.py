@@ -381,11 +381,16 @@ class Config:
         m = self.model
         m.task_type = self.training.task_type
         m.stack_method = tok.stack_method
+        # the flat GSTTokenizer emits ONE token per position (no stacked
+        # feature axis); only the stacked tokenizer derives
+        # stacked_feat/next_n from the attr dims (base_configs.py:206-223)
+        flat = tok.tokenizer_class == "GSTTokenizer"
+        stacked = 1 if flat else tok.stacked_feat
         if self.training.task_type in PRETRAIN_TASKS:
-            m.stacked_feat = tok.stacked_feat
-            m.next_n_token = tok.stacked_feat
+            m.stacked_feat = stacked
+            m.next_n_token = stacked
         else:
-            m.stacked_feat = tok.stacked_feat
+            m.stacked_feat = stacked
             m.next_n_token = 1
         m.embed_dim = tok.semantics.node.embed_dim + tok.semantics.edge.embed_dim
         m.max_position_embeddings = max(

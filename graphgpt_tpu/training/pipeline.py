@@ -51,6 +51,16 @@ def build_dataset(cfg: Config):
     return readers.read_dataset(name, cfg)
 
 
+def _tokenizer_cls(tok_cfg):
+    """Honour tokenization.tokenizer_class (reference tokenizer registry,
+    pretrain_mode.py:160-166): flat GSTTokenizer or StackedGSTTokenizer."""
+    if tok_cfg.tokenizer_class == "GSTTokenizer":
+        from ..data.gst_tokenizer import GSTTokenizer
+
+        return GSTTokenizer
+    return StackedGSTTokenizer
+
+
 def build_tokenizer(cfg: Config, dataset) -> StackedGSTTokenizer:
     tok_cfg = cfg.tokenization
     vocab_path = os.path.join(cfg.training.output_dir, tok_cfg.vocab_file)
@@ -75,7 +85,7 @@ def build_tokenizer(cfg: Config, dataset) -> StackedGSTTokenizer:
         if jax.process_index() == 0:
             vocab_mod.save_vocab(vocab, vocab_path)
         vm = vocab_mod.vocab_map_from_list(vocab)
-    return StackedGSTTokenizer(
+    return _tokenizer_cls(tok_cfg)(
         tok_cfg, vm, task_type=cfg.training.task_type, mlm_cfg=cfg.training.pretrain_mlm
     )
 
@@ -225,7 +235,7 @@ class PretrainPipeline:
         if pack and tcfg.mask_after_pack and tcfg.task_type == "pretrain-mlm":
             from ..data.tokenizer import mask_packed_row
 
-            loader_tokenizer = StackedGSTTokenizer(
+            loader_tokenizer = _tokenizer_cls(self.cfg.tokenization)(
                 self.cfg.tokenization, self.tokenizer.vocab_map, task_type="pretrain"
             )
             mask_id = self.tokenizer.mask_id
@@ -506,7 +516,7 @@ class PretrainPipeline:
         gen_cfg = self.cfg.generation
         tok = self.tokenizer
         # clean (unmasked) sequences from validation samples
-        clean_tok = StackedGSTTokenizer(
+        clean_tok = _tokenizer_cls(self.cfg.tokenization)(
             self.cfg.tokenization, tok.vocab_map, task_type="pretrain",
         )
         rng_np = np.random.default_rng(0)

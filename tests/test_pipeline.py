@@ -270,3 +270,34 @@ def test_evaluate_only_full_gen_sweep(tmp_path):
     gen_keys = [k for k in res if k.startswith("gen_acc@umr_")]
     assert len(gen_keys) == 10, sorted(res)
     assert "valid_loss" in res
+
+
+def test_flat_tokenizer_pipeline(tmp_path):
+    """tokenization.tokenizer_class='GSTTokenizer' runs the pretrain
+    pipeline end to end on the flat token stream (the config knob existed
+    but was never honoured — the pipeline always built the stacked
+    tokenizer; reference tokenizer registry, pretrain_mode.py:160-166)."""
+    from graphgpt_tpu.data.gst_tokenizer import GSTTokenizer
+    from graphgpt_tpu.training.pipeline import PretrainPipeline
+
+    cfg = _base_cfg(tmp_path, task="pretrain-mlm")
+    cfg.tokenization.tokenizer_class = "GSTTokenizer"
+    cfg.training.pack_tokens = 1
+    cfg.training.schedule.logging_steps = 2
+    cfg.training.schedule.total_num_steps = 4
+    cfg.training.schedule.warmup_num_steps = 1
+    cfg.training.do_valid = False
+    pipe = PretrainPipeline(cfg).setup()
+    try:
+        assert isinstance(pipe.tokenizer, GSTTokenizer)
+        assert pipe.cfg.model.stacked_feat == 1
+        batch = next(pipe._device_batches(epoch=0))
+        assert batch["input_ids"].ndim == 2  # flat [B, P] stream
+        pipe.run()
+    finally:
+        pipe.loader.close()
+    import csv
+
+    with open(os.path.join(cfg.training.output_dir, "log.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert rows and np.isfinite(float(rows[-1]["loss"]))
