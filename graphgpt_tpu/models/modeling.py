@@ -172,6 +172,64 @@ def _embed_lookup_bwd(res, g):
 _embed_lookup.defvjp(_embed_lookup_fwd, _embed_lookup_bwd)
 
 
+@jax.custom_vjp
+def _embed_lookup_sum(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    """sum_f table[ids[..., f]] with neither side materialising [B,P,F,D].
+
+    The naive table[ids].sum(-2) materialises a [B,P,F,D] tensor forward
+    (1.2 GB at the flagship shape) and broadcasts the [B,P,D] cotangent
+    back to it; profiled at ~14 ms/step. Here the forward accumulates F
+    gathers, and the backward contracts a per-chunk COUNT matrix
+    (sum of F one-hots) against the cotangent — F times fewer MXU FLOPs
+    than one-hot-per-feature and no broadcast."""
+    out = table[ids[..., 0]]
+    for f in range(1, ids.shape[-1]):
+        out = out + table[ids[..., f]]
+    return out
+
+
+def _embed_lookup_sum_fwd(table, ids):
+    return _embed_lookup_sum(table, ids), (
+        ids,
+        jnp.zeros(table.shape[:1], table.dtype),
+    )
+
+
+def _embed_lookup_sum_bwd(res, g):
+    ids, tproto = res
+    vocab, tdt = tproto.shape[0], tproto.dtype
+    f = ids.shape[-1]
+    d = g.shape[-1]
+    flat_ids = ids.reshape(-1, f)
+    gf = g.reshape(-1, d)
+    n = gf.shape[0]
+    chunk = min(n, 8192)
+    while n % chunk != 0:
+        chunk //= 2
+    classes = jnp.arange(vocab, dtype=flat_ids.dtype)
+
+    def body(acc, i):
+        sl_ids = jax.lax.dynamic_slice_in_dim(flat_ids, i * chunk, chunk)
+        sl_g = jax.lax.dynamic_slice_in_dim(gf, i * chunk, chunk)
+        # counts <= F are exactly representable in bf16
+        counts = (
+            (sl_ids[:, :, None] == classes[None, None, :]).astype(g.dtype).sum(1)
+        )  # [chunk, vocab]
+        acc = acc + jax.lax.dot_general(
+            counts, sl_g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc, None
+
+    dtab, _ = jax.lax.scan(
+        body, jnp.zeros((vocab, d), jnp.float32), jnp.arange(n // chunk)
+    )
+    return dtab.astype(tdt), None
+
+
+_embed_lookup_sum.defvjp(_embed_lookup_sum_fwd, _embed_lookup_sum_bwd)
+
+
 def embed_inputs(
     params: Params,
     cfg: ModelConfig,
@@ -181,18 +239,28 @@ def embed_inputs(
 ) -> jnp.ndarray:
     dt = _dtype(cfg)
     table = params["embed_tokens"].astype(dt)
-    emb = _embed_lookup(table, input_ids)  # [B,P,D] or [B,P,F,D]
-    emb = _dropout(emb, cfg.embed_dropout, rng, train)
-    if input_ids.ndim == 3:
-        if cfg.stacked_feat_agg_method == "gated":
-            w = params["stacked_agg_w"].astype(dt)
-            emb = jnp.einsum("bsfd,fd->bsd", emb, w, preferred_element_type=jnp.float32).astype(dt)
-        else:
-            emb = jnp.sum(emb, axis=-2)
-        if cfg.stack_method == "long":
-            nonzero = (input_ids != 0).sum(axis=-1, keepdims=True) + 1e-7
-            ratio = jnp.clip(1.0 / nonzero.astype(dt), a_max=1.0)
-            emb = emb * ratio
+    use_edrop = train and rng is not None and cfg.embed_dropout > 0
+    if (
+        input_ids.ndim == 3
+        and cfg.stacked_feat_agg_method != "gated"
+        and not use_edrop
+    ):
+        # fused gather-sum: no [B,P,F,D] tensor fwd or bwd (gated agg and
+        # per-element embed dropout need the un-aggregated tensor)
+        emb = _embed_lookup_sum(table, input_ids)
+    else:
+        emb = _embed_lookup(table, input_ids)  # [B,P,D] or [B,P,F,D]
+        emb = _dropout(emb, cfg.embed_dropout, rng, train)
+        if input_ids.ndim == 3:
+            if cfg.stacked_feat_agg_method == "gated":
+                w = params["stacked_agg_w"].astype(dt)
+                emb = jnp.einsum("bsfd,fd->bsd", emb, w, preferred_element_type=jnp.float32).astype(dt)
+            else:
+                emb = jnp.sum(emb, axis=-2)
+    if input_ids.ndim == 3 and cfg.stack_method == "long":
+        nonzero = (input_ids != 0).sum(axis=-1, keepdims=True) + 1e-7
+        ratio = jnp.clip(1.0 / nonzero.astype(dt), a_max=1.0)
+        emb = emb * ratio
     return emb
 
 

@@ -381,3 +381,30 @@ def test_step_pos_emb_table():
     np.testing.assert_allclose(tab[:, 1::2], np.sin(ang), rtol=1e-5, atol=1e-6)
     # period-1 column is constant (whole cycles at every integer step)
     np.testing.assert_allclose(tab[:, 0], 1.0, atol=1e-5)
+
+
+def test_fused_embed_sum_matches_reference_path():
+    """_embed_lookup_sum (no [B,P,F,D] materialisation) == table[ids].sum(-2)
+    forward AND backward (count-matrix dW vs broadcast/one-hot dW)."""
+    import numpy as np
+
+    from graphgpt_tpu.models.modeling import _embed_lookup_sum
+
+    rng = np.random.default_rng(0)
+    vocab, d, b, p, f = 97, 32, 2, 16, 5
+    table = jnp.asarray(rng.normal(0, 1, (vocab, d)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, vocab, (b, p, f)), jnp.int32)
+    cot = jnp.asarray(rng.normal(0, 1, (b, p, d)), jnp.float32)
+
+    def fused(t):
+        return jnp.sum(_embed_lookup_sum(t, ids) * cot)
+
+    def ref(t):
+        return jnp.sum(jnp.sum(t[ids], axis=-2) * cot)
+
+    np.testing.assert_allclose(float(fused(table)), float(ref(table)), rtol=1e-6)
+    g_fused = jax.grad(fused)(table)
+    g_ref = jax.grad(ref)(table)
+    np.testing.assert_allclose(
+        np.asarray(g_fused), np.asarray(g_ref), rtol=1e-5, atol=1e-5
+    )
