@@ -31,9 +31,13 @@ _CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cach
 
 
 def _enable_compile_cache():
-    os.makedirs(_CACHE_DIR, exist_ok=True)
     import jax
 
+    # TPU-only: CPU compiles are fast, and CPU AOT cache entries are
+    # machine-feature-specific (risk SIGILL when loaded on another host)
+    if jax.default_backend() != "tpu":
+        return
+    os.makedirs(_CACHE_DIR, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
