@@ -85,6 +85,16 @@ def main():
         help="measure the real input pipeline + train loop instead of a "
         "synthetic device-only loop",
     )
+    ap.add_argument(
+        "--block",
+        type=int,
+        default=0,
+        help="block-aligned packing window (training.pack_block / "
+        "model.attn_block); 0 = plain packing with full-P attention. "
+        "Measured on v5e at mpe1024: a wash (attention is ~16%% of the "
+        "step; the ~2.5%% packing waste cancels the kernel gain) — use "
+        "for longer sequences where attention dominates",
+    )
     args = ap.parse_args()
 
     _enable_compile_cache()
@@ -108,13 +118,15 @@ def main():
     from graphgpt_tpu.training.steps import init_train_state, make_train_step
 
     on_tpu = jax.default_backend() == "tpu"
+    block = args.block if args.block and args.seq > args.block else 0
     if args.quick or not on_tpu:
-        cfg = _flagship_cfg(hidden=128, layers=2, seq=min(args.seq, 256))
+        seq = min(args.seq, 256)
+        block = block if block and seq > block else 0
+        cfg = _flagship_cfg(hidden=128, layers=2, seq=seq, attn_block=block)
         batch_size = args.batch or 8
         n_steps = args.steps or 5
-        seq = min(args.seq, 256)
     else:
-        cfg = _flagship_cfg(hidden=768, layers=12, seq=args.seq)
+        cfg = _flagship_cfg(hidden=768, layers=12, seq=args.seq, attn_block=block)
         batch_size = args.batch or 64
         n_steps = args.steps or 10
         seq = args.seq
@@ -125,10 +137,14 @@ def main():
     tx = opt_lib.make_optimizer(ocfg, 1000, 100)
     state = init_train_state(params, tx)
     step = make_train_step(heads.pretrain_forward, cfg, tx, ocfg)
-    batch = _fake_batch(batch_size, seq, cfg.stacked_feat, cfg.vocab_size)
+    batch = _fake_batch(
+        batch_size, seq, cfg.stacked_feat, cfg.vocab_size, block=block
+    )
     rng = jax.random.PRNGKey(0)
 
-    tokens_per_step = batch_size * seq
+    # REAL tokens only: the packed workload (and its block-aligned variant)
+    # carries some padding; tokens/s must not count it
+    tokens_per_step = int(np.sum(np.asarray(batch["segment_ids"]) > 0))
     # standard training-MFU FLOP count: 6N parameter FLOPs plus the
     # 12*L*P*H*dh attention term (PaLM appendix B convention; the r2
     # verdict flagged the previous 6N-only denominator as understating

@@ -234,6 +234,11 @@ class ModelConfig:
     remat: bool = False  # activation rematerialisation per layer
     remat_policy: str = "full"  # full|pairs|quads|dots|save_attn
     attn_impl: str = "auto"  # auto|pallas|xla
+    # block-aligned-packing window (0 = off): set alongside
+    # training.pack_block — the loader guarantees no packed segment crosses
+    # an attn_block boundary, so attention runs at P=attn_block
+    # (ops/attention.py) for G/P of the dense cost
+    attn_block: int = 0
 
     def finalize(self) -> "ModelConfig":
         """Resolve derived architecture fields (modules_utils.py:36-42)."""
@@ -325,6 +330,10 @@ class TrainingConfig:
     max_length: int = 1024
     pad_to_multiple_of: int = 8
     pack_tokens: float = 0.0  # >0 enables sequence packing to mpe
+    # block-aligned packing window (0 = off): samples never cross a
+    # pack_block boundary within a row (best-fit lookahead fills the gaps),
+    # letting attention run at P=pack_block — see ModelConfig.attn_block
+    pack_block: int = 0
     # SMTP masking drawn once per packed row (reference packed-sequence
     # semantics) instead of per sample before packing
     mask_after_pack: bool = False

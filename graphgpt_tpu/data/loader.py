@@ -66,6 +66,8 @@ class GraphTokenLoader:
         drop_last: bool = True,
         prefetch: int = 4,
         post_pack_fn=None,
+        fixed_length: Optional[int] = None,
+        pack_block: int = 0,
     ):
         self.dataset = dataset
         self.tokenizer = tokenizer
@@ -73,6 +75,11 @@ class GraphTokenLoader:
         self.mpe = mpe
         self.pack = pack
         self.bucket = bucket
+        # multi-host: unpacked batches must pad to ONE fixed length — with
+        # per-host bucketing each process could pick a different bucket and
+        # the global batch assembly would mix shapes across processes
+        self.fixed_length = fixed_length
+        self.pack_block = pack_block
         self.num_workers = num_workers
         self.seed = seed
         self.drop_last = drop_last
@@ -114,28 +121,36 @@ class GraphTokenLoader:
         epoch: int = 0,
         pack: Optional[bool] = None,
         fixed_length: Optional[int] = None,
+        drop_last: Optional[bool] = None,
     ) -> Iterator[Batch]:
         """Batches for one pass over `indices`.
 
-        `pack`/`fixed_length` override the loader defaults — multi-host eval
-        needs unpacked fixed-shape batches so every process emits the same
-        batch count and global shape.
+        `pack`/`fixed_length`/`drop_last` override the loader defaults —
+        multi-host eval needs unpacked fixed-shape batches so every process
+        emits the same batch count and global shape, and eval passes must
+        keep the final partial batch (drop_last=False) to cover the full
+        index set.
         """
         use_pack = self.pack if pack is None else pack
+        use_drop_last = self.drop_last if drop_last is None else drop_last
         stream = self._sample_stream(indices, epoch)
         if use_pack:
-            stream = pack_samples(stream, self.mpe)
+            stream = pack_samples(stream, self.mpe, block=self.pack_block)
             if self.post_pack_fn is not None:
                 rng = np.random.default_rng((self.seed, epoch, 777))
                 stream = (self.post_pack_fn(s, rng) for s in stream)
-        flen = fixed_length if fixed_length is not None else (self.mpe if use_pack else None)
+        flen = (
+            fixed_length
+            if fixed_length is not None
+            else (self.mpe if use_pack else self.fixed_length)
+        )
         buf: List[TokenizedSample] = []
         for s in stream:
             buf.append(s)
             if len(buf) == self.batch_size:
                 yield collate(buf, mpe=self.mpe, bucket=self.bucket, fixed_length=flen)
                 buf = []
-        if buf and not self.drop_last:
+        if buf and not use_drop_last:
             yield collate(buf, mpe=self.mpe, bucket=self.bucket, fixed_length=flen)
 
     def prefetched(self, indices: np.ndarray, epoch: int = 0) -> Iterator[Batch]:

@@ -354,7 +354,7 @@ def backbone_apply(
         q, k = apply_rope(q, k, cos, sin)
         attn_out = attention(
             q, k, v, segment_ids, causal=cfg.causal_attention, impl=cfg.attn_impl,
-            bi_causal_split=cfg.bi_causal_split,
+            bi_causal_split=cfg.bi_causal_split, attn_block=cfg.attn_block,
         )
         attn_out = attn_out.reshape(b * p, h * dh) @ lp["o"].astype(dt)
         if use_adrop:

@@ -62,14 +62,28 @@ def _pick_block(p: int, target: int = 0) -> int:
     return max(b, 1)
 
 
-def _tile_neg(seg_q, seg_k, qi, ki, bq, bk, causal):
+def _tile_neg(seg_q, seg_k, qi, ki, bq, bk, causal, bi_split: int = 0, p: int = 0):
     """[BQ, BK] additive mask (0 valid / -1e30 masked), built ONCE per tile
-    and shared by every head."""
+    and shared by every head.
+
+    bi_split > 0 selects the reference's bi-causal binary-energy-decoding
+    mode (src/utils/attn_mask_utils.py:128-155): rows before
+    `split = P - bi_split` attend the bidirectional prefix only; rows
+    at/after `split` attend causally to everything (within their segment).
+    `ki` may be a traced scalar (the in-kernel kv band loop); `qi`,
+    `bi_split` and `p` are static.
+    """
     valid = (seg_q[:, None] == seg_k[None, :]) & (seg_k[None, :] > 0)
-    if causal:
+    if causal or bi_split > 0:
         rows = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
         cols = ki * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-        valid = valid & (rows >= cols)
+        if bi_split > 0:
+            split = p - bi_split
+            bi_rows = (rows < split) & (cols < split)
+            causal_rows = (rows >= split) & (cols <= rows)
+            valid = valid & (bi_rows | causal_rows)
+        else:
+            valid = valid & (rows >= cols)
     return jnp.where(valid, 0.0, _NEG_INF)
 
 
@@ -78,11 +92,14 @@ def _tile_neg(seg_q, seg_k, qi, ki, bq, bk, causal):
 # ---------------------------------------------------------------------------
 def _fwd_kernel_single(
     q_ref, k_ref, v_ref, segq_ref, segk_ref, out_ref, lse_ref,
-    *, causal: bool, bq: int, bk: int, h: int, dh: int
+    *, causal: bool, bq: int, bk: int, h: int, dh: int,
+    bi_split: int = 0, p: int = 0
 ):
     """Whole kv in one tile: plain softmax, no running stats."""
     qi = pl.program_id(1)
-    neg = _tile_neg(segq_ref[0, 0], segk_ref[0, 0], qi, 0, bq, bk, causal)
+    neg = _tile_neg(
+        segq_ref[0, 0], segk_ref[0, 0], qi, 0, bq, bk, causal, bi_split, p
+    )
     rowvalid = segq_ref[0, 0][:, None] > 0
     for i in range(h):
         sl = slice(i * dh, (i + 1) * dh)
@@ -91,10 +108,10 @@ def _fwd_kernel_single(
             preferred_element_type=jnp.float32,
         ) + neg
         m = jnp.max(s, axis=-1, keepdims=True)  # [BQ, 1]
-        p = jnp.exp(s - m)  # masked entries -> 0 (or 1s on fully-padded rows)
-        l = jnp.sum(p, axis=-1, keepdims=True)
+        pij = jnp.exp(s - m)  # masked entries -> 0 (or 1s on fully-padded rows)
+        l = jnp.sum(pij, axis=-1, keepdims=True)
         pv = jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0, :, sl], (((1,), (0,)), ((), ())),
+            pij.astype(v_ref.dtype), v_ref[0, :, sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         out_ref[0, :, sl] = jnp.where(rowvalid, pv / l, 0.0).astype(out_ref.dtype)
@@ -102,9 +119,24 @@ def _fwd_kernel_single(
         lse_ref[0, i] = jnp.where(m[:, 0] <= _NEG_INF, _NEG_INF, lse)
 
 
+def _seg_overlap(seg_q, seg_k):
+    """Scalar bool: does any segment id appear in BOTH tiles? Packed rows
+    carry increasing contiguous ids, so id-range overlap is exact; padding
+    (id 0) never matches. The basis of the (q-tile, kv-tile) skip — on the
+    flagship packed workloads (~32-token segments) most tile pairs are
+    fully masked and skipping them is the round-4 headline win."""
+    big = jnp.int32(2**30)
+    qmax = jnp.max(seg_q)
+    kmax = jnp.max(seg_k)
+    qmin = jnp.min(jnp.where(seg_q > 0, seg_q, big))
+    kmin = jnp.min(jnp.where(seg_k > 0, seg_k, big))
+    return (qmax > 0) & (kmax > 0) & (qmin <= kmax) & (kmin <= qmax)
+
+
 def _fwd_kernel_stream(
     q_ref, k_ref, v_ref, segq_ref, segk_ref, out_ref, lse_ref, acc_ref, m_ref, l_ref,
-    *, causal: bool, bq: int, bk: int, nk: int, h: int, dh: int
+    *, causal: bool, bq: int, bk: int, nk: int, h: int, dh: int,
+    bi_split: int = 0, p: int = 0
 ):
     ki = pl.program_id(2)
     qi = pl.program_id(1)
@@ -115,14 +147,17 @@ def _fwd_kernel_stream(
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    # skip fully-masked (strictly-above-diagonal) kv tiles under causality
-    run = True
+    # skip (q-tile, kv-tile) pairs with no segment in common, and fully-
+    # masked strictly-above-diagonal tiles under causality
+    run = _seg_overlap(segq_ref[0, 0], segk_ref[0, 0])
     if causal:
-        run = ki * bk <= qi * bq + (bq - 1)
+        run &= ki * bk <= qi * bq + (bq - 1)
 
     @pl.when(run)
     def _step():
-        neg = _tile_neg(segq_ref[0, 0], segk_ref[0, 0], qi, ki, bq, bk, causal)
+        neg = _tile_neg(
+            segq_ref[0, 0], segk_ref[0, 0], qi, ki, bq, bk, causal, bi_split, p
+        )
         for i in range(h):
             sl = slice(i * dh, (i + 1) * dh)
             s = jax.lax.dot_general(
@@ -132,14 +167,14 @@ def _fwd_kernel_stream(
             # running max/denominator columns for this head
             m_prev = m_ref[:, i : i + 1]  # [BQ, 1]
             m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.exp(s - m_new)
+            pij = jnp.exp(s - m_new)
             alpha = jnp.exp(m_prev - m_new)  # [BQ, 1]
             l_ref[:, i : i + 1] = l_ref[:, i : i + 1] * alpha + jnp.sum(
-                p, axis=-1, keepdims=True
+                pij, axis=-1, keepdims=True
             )
             m_ref[:, i : i + 1] = m_new
             pv = jax.lax.dot_general(
-                p.astype(v_ref.dtype), v_ref[0, :, sl], (((1,), (0,)), ((), ())),
+                pij.astype(v_ref.dtype), v_ref[0, :, sl], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             acc_ref[:, sl] = acc_ref[:, sl] * alpha + pv
@@ -158,12 +193,184 @@ def _fwd_kernel_stream(
             lse_ref[0, i] = jnp.where(l[:, 0] == 0.0, _NEG_INF, lse)
 
 
-def _flash_fwd(q, k, v, seg_q, seg_k, causal, bq, bk, h, dh):
+# ---------------------------------------------------------------------------
+# Band kernels: exploit block-diagonal sparsity of packed segments.
+#
+# The flagship workloads pack ~31 graph segments (mean length ~32 tokens)
+# into each mpe-1024 row, so the bidirectional segment mask is extremely
+# block-sparse: a query attends only its own segment. The reference pays the
+# full O(L^2) for this (host-materialised block-diag masks,
+# src/utils/tokenizer_utils.py:351-355); the kernels above also visit every
+# (q-tile, kv-tile) pair. These kernels instead keep the WHOLE kv block in
+# VMEM (fetched once per batch row, same DMA as the single-block path) and,
+# per q tile, run an in-kernel fori_loop over only the kv sub-tiles whose
+# segment-id range overlaps the q tile's — packing assigns increasing ids,
+# so the overlap region is one contiguous band of width ~(bq + 2*mean_seg).
+# Fully-padded tails fall out for free (seg 0 never enters the band).
+# ---------------------------------------------------------------------------
+
+
+def _band_limits(seg_q, seg_k, p, bk):
+    """Scalar (jlo, jhi) kv sub-tile band for this q tile: the tiles holding
+    any kv position whose segment id falls inside the q tile's [qmin, qmax].
+    Ids only need to be *clustered* for efficiency; correctness needs only
+    that every matching column lies inside [min pos, max pos] of matching
+    ids, which holds by construction. Returns jhi < jlo when the q tile is
+    all padding."""
+    big = jnp.int32(2**30)
+    qmax = jnp.max(seg_q)
+    qmin = jnp.min(jnp.where(seg_q > 0, seg_q, big))
+    match = (seg_k >= qmin) & (seg_k <= qmax) & (seg_k > 0)
+    pos = jax.lax.broadcasted_iota(jnp.int32, seg_k.shape, 0)
+    lo = jnp.min(jnp.where(match, pos, jnp.int32(p)))
+    hi = jnp.max(jnp.where(match, pos, jnp.int32(-1)))
+    return lo // bk, hi // bk
+
+
+def _fwd_kernel_band(
+    q_ref, k_ref, v_ref, segq_ref, segk_ref, out_ref, lse_ref, acc_ref, m_ref, l_ref,
+    *, causal: bool, bq: int, bk: int, h: int, dh: int, p: int, bi_split: int
+):
+    """Grid (b, nq); k/v/seg_k blocks span the whole kv axis (index map
+    constant in qi, so they are fetched once per batch row); acc/m/l live in
+    VMEM scratch mutated by the fori_loop body."""
+    qi = pl.program_id(1)
+    seg_q = segq_ref[0, :, 0]  # [bq]
+    seg_k_full = segk_ref[0, :, 0]  # [p]
+    jlo, jhi = _band_limits(seg_q, seg_k_full, p, bk)
+    if causal:
+        jhi = jnp.minimum(jhi, (qi * bq + bq - 1) // bk)
+    elif bi_split > 0:
+        split = p - bi_split
+        # tiles with causal rows reach to the row diagonal; bi-only tiles
+        # see the prefix (qi is a traced program_id -> jnp.where, not `if`)
+        has_causal = qi * bq + bq - 1 >= split
+        jhi = jnp.minimum(
+            jhi,
+            jnp.where(has_causal, (qi * bq + bq - 1) // bk, (split - 1) // bk),
+        )
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+    l_ref[:] = jnp.zeros_like(l_ref)
+
+    def body(j, _):
+        start = pl.multiple_of(j * bk, bk)
+        seg_k = segk_ref[0, pl.ds(start, bk), 0]  # [bk]
+        neg = _tile_neg(seg_q, seg_k, qi, j, bq, bk, causal, bi_split, p)
+        k_blk = k_ref[0, pl.ds(start, bk), :]  # [bk, H*Dh]
+        v_blk = v_ref[0, pl.ds(start, bk), :]
+        for i in range(h):
+            sl = slice(i * dh, (i + 1) * dh)
+            s = jax.lax.dot_general(
+                q_ref[0, :, sl], k_blk[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + neg  # [BQ, BK]
+            m_prev = m_ref[:, i : i + 1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            pij = jnp.exp(s - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_ref[:, i : i + 1] = l_ref[:, i : i + 1] * alpha + jnp.sum(
+                pij, axis=-1, keepdims=True
+            )
+            m_ref[:, i : i + 1] = m_new
+            pv = jax.lax.dot_general(
+                pij.astype(v_blk.dtype), v_blk[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_ref[:, sl] = acc_ref[:, sl] * alpha + pv
+        return 0
+
+    jax.lax.fori_loop(jlo, jhi + 1, body, 0)
+
+    rowvalid = seg_q[:, None] > 0
+    for i in range(h):
+        sl = slice(i * dh, (i + 1) * dh)
+        l = l_ref[:, i : i + 1]
+        lsafe = jnp.where(l == 0.0, 1.0, l)
+        out_ref[0, :, sl] = jnp.where(
+            rowvalid, acc_ref[:, sl] / lsafe, 0.0
+        ).astype(out_ref.dtype)
+        lse = m_ref[:, i] + jnp.log(lsafe[:, 0])
+        lse_ref[0, i] = jnp.where(l[:, 0] == 0.0, _NEG_INF, lse)
+
+
+def _flash_fwd_band(q, k, v, seg_q, seg_k, causal, bq, bk, h, dh, bi_split=0):
+    b, p, hd = q.shape
+    nq = p // bq
+    segq3 = seg_q.reshape(b, p, 1)
+    segk3 = seg_k.reshape(b, p, 1)
+    qspec = pl.BlockSpec((1, bq, hd), lambda b, i: (b, i, 0))
+    kspec = pl.BlockSpec((1, p, hd), lambda b, i: (b, 0, 0))
+    sq = pl.BlockSpec((1, bq, 1), lambda b, i: (b, i, 0))
+    sk = pl.BlockSpec((1, p, 1), lambda b, i: (b, 0, 0))
+    lspec = pl.BlockSpec((1, h, bq), lambda b, i: (b, 0, i))
+    kernel = functools.partial(
+        _fwd_kernel_band, causal=causal, bq=bq, bk=bk, h=h, dh=dh, p=p,
+        bi_split=bi_split,
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(b, nq),
+        in_specs=[qspec, kspec, kspec, sq, sk],
+        out_specs=[qspec, lspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, p, hd), q.dtype),
+            jax.ShapeDtypeStruct((b, h, p), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, hd), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+    )(q, k, v, segq3, segk3)
+    return out, lse
+
+
+# kernel-mode knob (GGT_FLASH_MODE) — all three modes are numerically
+# identical; the default follows the v5e measurements (PERF.md round 4):
+#   legacy — dense-tile dispatch with the single-block fast paths. FASTEST:
+#            at dh=64 the no-running-stats single-block softmax beats every
+#            tiled variant even when tiling enables sparsity skipping.
+#   skip   — stream kernels with per-(q-tile, kv-tile) segment-overlap
+#            skipping (packed block-diagonal masks make most tile pairs
+#            dead) — measured SLOWER: the online-softmax stat updates and
+#            acc rescales cost more than the skipped tiles saved.
+#   band   — in-kernel fori_loop over the segment band — measured SLOWER:
+#            the dynamic loop defeats Mosaic's grid pipelining.
+# Block-diagonal sparsity is instead exploited OUTSIDE the kernel via
+# block-aligned packing + the attn_block reshape (ops/attention.py), which
+# keeps the single-block fast path while shrinking its P.
+_MODE = os.environ.get("GGT_FLASH_MODE", "legacy")
+# kv tile width for the skip/band modes
+_BAND_BK = int(os.environ.get("GGT_FLASH_BK", "256"))
+# above this P the full kv block + fp32 dk/dv scratch no longer fit VMEM
+# comfortably; the streaming pair kernels take over
+_MAX_BAND = 4096
+
+
+def _flash_fwd(q, k, v, seg_q, seg_k, causal, bq, bk, h, dh, bi_split=0):
     """q,k,v: [B, P, H*Dh] with q pre-scaled; seg_q/seg_k: [B, P] (distinct
     arrays for ring-attention chunks where the kv segments rotate).
 
     Returns out [B, P, H*Dh] and lse [B, H, P]."""
     b, p, hd = q.shape
+    if _MODE == "band" and p <= _MAX_BAND:
+        bq_b = _pick_block(p)
+        bk_b = _pick_block(p, _BAND_BK)
+        return _flash_fwd_band(
+            q, k, v, seg_q, seg_k, causal, bq_b, bk_b, h, dh, bi_split
+        )
+    if _MODE == "skip":
+        # tile the kv axis even when it would fit one block, so the
+        # per-(q-tile, kv-tile) segment-overlap skip in the stream kernel
+        # can drop the dead tiles of packed block-diagonal masks
+        bq = _pick_block(p)
+        bk = _pick_block(p, _BAND_BK)
     nq, nk = p // bq, p // bk
     segq3 = seg_q.reshape(b, 1, p)
     segk3 = seg_k.reshape(b, 1, p)
@@ -178,12 +385,14 @@ def _flash_fwd(q, k, v, seg_q, seg_k, causal, bq, bk, h, dh):
     ]
     if nk == 1:
         kernel = functools.partial(
-            _fwd_kernel_single, causal=causal, bq=bq, bk=bk, h=h, dh=dh
+            _fwd_kernel_single, causal=causal, bq=bq, bk=bk, h=h, dh=dh,
+            bi_split=bi_split, p=p,
         )
         scratch = []
     else:
         kernel = functools.partial(
-            _fwd_kernel_stream, causal=causal, bq=bq, bk=bk, nk=nk, h=h, dh=dh
+            _fwd_kernel_stream, causal=causal, bq=bq, bk=bk, nk=nk, h=h, dh=dh,
+            bi_split=bi_split, p=p,
         )
         scratch = [
             pltpu.VMEM((bq, hd), jnp.float32),
@@ -205,15 +414,131 @@ def _flash_fwd(q, k, v, seg_q, seg_k, causal, bq, bk, h, dh):
     return out, lse
 
 
+def _bwd_kernel_band(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, segq_ref, segk_ref,
+    dq_ref, dk_ref, dv_ref, dq_acc, dk_acc, dv_acc,
+    *, causal: bool, bq: int, bk: int, nq: int, h: int, dh: int, p: int,
+    bi_split: int
+):
+    """Fused band backward: one pass over the (q-tile, banded kv sub-tile)
+    pairs produces dq, dk AND dv — logits/softmax and the tile mask built
+    once per live pair (5 MXU matmuls instead of the 7 a split dq/dkv pair
+    costs), and dead kv sub-tiles outside the q tile's segment band are
+    never touched. dk/dv accumulate into full-kv fp32 scratch across q tiles
+    (grid axis `arbitrary`), flushed on the last tile."""
+    qi = pl.program_id(1)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    seg_q = segq_ref[0, :, 0]
+    seg_k_full = segk_ref[0, :, 0]
+    jlo, jhi = _band_limits(seg_q, seg_k_full, p, bk)
+    if causal:
+        jhi = jnp.minimum(jhi, (qi * bq + bq - 1) // bk)
+    elif bi_split > 0:
+        split = p - bi_split
+        has_causal = qi * bq + bq - 1 >= split
+        jhi = jnp.minimum(
+            jhi,
+            jnp.where(has_causal, (qi * bq + bq - 1) // bk, (split - 1) // bk),
+        )
+    rowvalid = seg_q[:, None] > 0
+
+    dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    def body(j, _):
+        start = pl.multiple_of(j * bk, bk)
+        seg_k = segk_ref[0, pl.ds(start, bk), 0]
+        neg = _tile_neg(seg_q, seg_k, qi, j, bq, bk, causal, bi_split, p)
+        k_blk = k_ref[0, pl.ds(start, bk), :]
+        v_blk = v_ref[0, pl.ds(start, bk), :]
+        for i in range(h):
+            sl = slice(i * dh, (i + 1) * dh)
+            q = q_ref[0, :, sl]
+            s = jax.lax.dot_general(
+                q, k_blk[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + neg  # [BQ, BK]
+            pij = jnp.exp(s - lse_ref[0, i][:, None])
+            do = jnp.where(rowvalid, do_ref[0, :, sl], 0.0)
+            dv_acc[pl.ds(start, bk), sl] += jax.lax.dot_general(
+                pij.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [BK, Dh]
+            dp = jax.lax.dot_general(
+                do, v_blk[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [BQ, BK]
+            ds = pij * (dp - delta_ref[0, i][:, None])
+            dq_acc[:, sl] += jax.lax.dot_general(
+                ds.astype(k_blk.dtype), k_blk[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dk_acc[pl.ds(start, bk), sl] += jax.lax.dot_general(
+                ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [BK, Dh]
+        return 0
+
+    jax.lax.fori_loop(jlo, jhi + 1, body, 0)
+    dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+
+    @pl.when(qi == nq - 1)
+    def _finish():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd_band(q, k, v, segq3, segk3, delta, lse, do, causal, h, dh,
+                    bq, bk, bi_split=0):
+    b, p, hd = q.shape
+    nq = p // bq
+    qspec = pl.BlockSpec((1, bq, hd), lambda b, i: (b, i, 0))
+    kspec = pl.BlockSpec((1, p, hd), lambda b, i: (b, 0, 0))
+    sq = pl.BlockSpec((1, bq, 1), lambda b, i: (b, i, 0))
+    sk = pl.BlockSpec((1, p, 1), lambda b, i: (b, 0, 0))
+    rowq = pl.BlockSpec((1, h, bq), lambda b, i: (b, 0, i))
+    kernel = functools.partial(
+        _bwd_kernel_band, causal=causal, bq=bq, bk=bk, nq=nq, h=h, dh=dh,
+        p=p, bi_split=bi_split,
+    )
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(b, nq),
+        in_specs=[qspec, kspec, kspec, qspec, rowq, rowq, sq, sk],
+        out_specs=[qspec, kspec, kspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, p, hd), q.dtype),
+            jax.ShapeDtypeStruct((b, p, hd), k.dtype),
+            jax.ShapeDtypeStruct((b, p, hd), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, hd), jnp.float32),
+            pltpu.VMEM((p, hd), jnp.float32),
+            pltpu.VMEM((p, hd), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+    )(q, k, v, do, lse, delta, segq3, segk3)
+    return dq, dk, dv
+
+
 # ---------------------------------------------------------------------------
 # Backward kernels (q pre-scaled; dq returned in pre-scaled units)
 # ---------------------------------------------------------------------------
 def _dq_kernel_single(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, segq_ref, segk_ref,
-    dq_ref, *, causal, bq, bk, h, dh
+    dq_ref, *, causal, bq, bk, h, dh, bi_split=0, p=0
 ):
     qi = pl.program_id(1)
-    neg = _tile_neg(segq_ref[0, 0], segk_ref[0, 0], qi, 0, bq, bk, causal)
+    neg = _tile_neg(
+        segq_ref[0, 0], segk_ref[0, 0], qi, 0, bq, bk, causal, bi_split, p
+    )
     rowvalid = segq_ref[0, 0][:, None] > 0
     for i in range(h):
         sl = slice(i * dh, (i + 1) * dh)
@@ -222,14 +547,14 @@ def _dq_kernel_single(
             q_ref[0, :, sl], k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + neg
-        p = jnp.exp(s - lse_ref[0, i][:, None])
+        pij = jnp.exp(s - lse_ref[0, i][:, None])
         # [BQ,1] row mask on do zeroes every padding-row contribution
         do = jnp.where(rowvalid, do_ref[0, :, sl], 0.0)
         dp = jax.lax.dot_general(
             do, v_ref[0, :, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [BQ, BK]
-        ds = p * (dp - delta_ref[0, i][:, None])
+        ds = pij * (dp - delta_ref[0, i][:, None])
         dq = jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -239,7 +564,7 @@ def _dq_kernel_single(
 
 def _dq_kernel_stream(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, segq_ref, segk_ref,
-    dq_ref, acc_ref, *, causal, bq, bk, nk, h, dh
+    dq_ref, acc_ref, *, causal, bq, bk, nk, h, dh, bi_split=0, p=0
 ):
     qi, ki = pl.program_id(1), pl.program_id(2)
 
@@ -247,13 +572,15 @@ def _dq_kernel_stream(
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    run = True
+    run = _seg_overlap(segq_ref[0, 0], segk_ref[0, 0])
     if causal:
-        run = ki * bk <= qi * bq + (bq - 1)
+        run &= ki * bk <= qi * bq + (bq - 1)
 
     @pl.when(run)
     def _step():
-        neg = _tile_neg(segq_ref[0, 0], segk_ref[0, 0], qi, ki, bq, bk, causal)
+        neg = _tile_neg(
+            segq_ref[0, 0], segk_ref[0, 0], qi, ki, bq, bk, causal, bi_split, p
+        )
         rowvalid = segq_ref[0, 0][:, None] > 0
         for i in range(h):
             sl = slice(i * dh, (i + 1) * dh)
@@ -262,13 +589,13 @@ def _dq_kernel_stream(
                 q_ref[0, :, sl], k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) + neg
-            p = jnp.exp(s - lse_ref[0, i][:, None])
+            pij = jnp.exp(s - lse_ref[0, i][:, None])
             do = jnp.where(rowvalid, do_ref[0, :, sl], 0.0)
             dp = jax.lax.dot_general(
                 do, v_ref[0, :, sl], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [BQ, BK]
-            ds = p * (dp - delta_ref[0, i][:, None])
+            ds = pij * (dp - delta_ref[0, i][:, None])
             acc_ref[:, sl] += jax.lax.dot_general(
                 ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -281,7 +608,8 @@ def _dq_kernel_stream(
 
 def _bwd_kernel_fused(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, segq_ref, segk_ref,
-    dq_ref, dk_ref, dv_ref, dk_acc, dv_acc, *, causal, bq, bk, nq, h, dh
+    dq_ref, dk_ref, dv_ref, dk_acc, dv_acc, *, causal, bq, bk, nq, h, dh,
+    bi_split=0, p=0
 ):
     """Single-block backward: kv spans one tile (P <= _MAX_SINGLE_BLOCK), q
     streamed in bq tiles. Computes dq, dk AND dv in one pass so the [BQ, BK]
@@ -295,7 +623,9 @@ def _bwd_kernel_fused(
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    neg = _tile_neg(segq_ref[0, 0], segk_ref[0, 0], qi, 0, bq, bk, causal)
+    neg = _tile_neg(
+        segq_ref[0, 0], segk_ref[0, 0], qi, 0, bq, bk, causal, bi_split, p
+    )
     rowvalid = segq_ref[0, 0][:, None] > 0
     for i in range(h):
         sl = slice(i * dh, (i + 1) * dh)
@@ -305,17 +635,17 @@ def _bwd_kernel_fused(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + neg  # [BQ, BK]
-        p = jnp.exp(s - lse_ref[0, i][:, None])
+        pij = jnp.exp(s - lse_ref[0, i][:, None])
         do = jnp.where(rowvalid, do_ref[0, :, sl], 0.0)
         dv_acc[:, sl] += jax.lax.dot_general(
-            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            pij.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [BK, Dh]
         dp = jax.lax.dot_general(
             do, v_ref[0, :, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [BQ, BK]
-        ds = p * (dp - delta_ref[0, i][:, None])
+        ds = pij * (dp - delta_ref[0, i][:, None])
         dq_ref[0, :, sl] = jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -333,10 +663,12 @@ def _bwd_kernel_fused(
 
 def _dkv_kernel_single(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, segq_ref, segk_ref,
-    dk_ref, dv_ref, *, causal, bq, bk, h, dh
+    dk_ref, dv_ref, *, causal, bq, bk, h, dh, bi_split=0, p=0
 ):
     ki = pl.program_id(1)
-    neg = _tile_neg(segq_ref[0, 0], segk_ref[0, 0], 0, ki, bq, bk, causal)
+    neg = _tile_neg(
+        segq_ref[0, 0], segk_ref[0, 0], 0, ki, bq, bk, causal, bi_split, p
+    )
     rowvalid = segq_ref[0, 0][:, None] > 0
     for i in range(h):
         sl = slice(i * dh, (i + 1) * dh)
@@ -345,17 +677,17 @@ def _dkv_kernel_single(
             q, k_ref[0, :, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + neg  # [BQ, BK]
-        p = jnp.exp(s - lse_ref[0, i][:, None])
+        pij = jnp.exp(s - lse_ref[0, i][:, None])
         do = jnp.where(rowvalid, do_ref[0, :, sl], 0.0)
         dv = jax.lax.dot_general(
-            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            pij.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [BK, Dh]
         dp = jax.lax.dot_general(
             do, v_ref[0, :, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        ds = p * (dp - delta_ref[0, i][:, None])  # [BQ, BK]
+        ds = pij * (dp - delta_ref[0, i][:, None])  # [BQ, BK]
         dk = jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -366,7 +698,8 @@ def _dkv_kernel_single(
 
 def _dkv_kernel_stream(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, segq_ref, segk_ref,
-    dk_ref, dv_ref, dk_acc, dv_acc, *, causal, bq, bk, nq, h, dh
+    dk_ref, dv_ref, dk_acc, dv_acc, *, causal, bq, bk, nq, h, dh,
+    bi_split=0, p=0
 ):
     ki, qi = pl.program_id(1), pl.program_id(2)
 
@@ -375,13 +708,15 @@ def _dkv_kernel_stream(
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    run = True
+    run = _seg_overlap(segq_ref[0, 0], segk_ref[0, 0])
     if causal:
-        run = qi * bq + (bq - 1) >= ki * bk
+        run &= qi * bq + (bq - 1) >= ki * bk
 
     @pl.when(run)
     def _step():
-        neg = _tile_neg(segq_ref[0, 0], segk_ref[0, 0], qi, ki, bq, bk, causal)
+        neg = _tile_neg(
+            segq_ref[0, 0], segk_ref[0, 0], qi, ki, bq, bk, causal, bi_split, p
+        )
         rowvalid = segq_ref[0, 0][:, None] > 0
         for i in range(h):
             sl = slice(i * dh, (i + 1) * dh)
@@ -390,17 +725,17 @@ def _dkv_kernel_stream(
                 q, k_ref[0, :, sl], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) + neg  # [BQ, BK]
-            p = jnp.exp(s - lse_ref[0, i][:, None])
+            pij = jnp.exp(s - lse_ref[0, i][:, None])
             do = jnp.where(rowvalid, do_ref[0, :, sl], 0.0)
             dv_acc[:, sl] += jax.lax.dot_general(
-                p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                pij.astype(do.dtype), do, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [BK, Dh]
             dp = jax.lax.dot_general(
                 do, v_ref[0, :, sl], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            ds = p * (dp - delta_ref[0, i][:, None])  # [BQ, BK]
+            ds = pij * (dp - delta_ref[0, i][:, None])  # [BQ, BK]
             dk_acc[:, sl] += jax.lax.dot_general(
                 ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -412,7 +747,8 @@ def _dkv_kernel_stream(
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-def _flash_bwd(q, k, v, seg_q, seg_k, out, lse, do, causal, h, dh, dlse=None):
+def _flash_bwd(q, k, v, seg_q, seg_k, out, lse, do, causal, h, dh, dlse=None,
+               bi_split=0):
     """dlse: optional [B, H, P] cotangent of the lse output (ring-attention
     combine); folds into the delta term: ds = p*(dp - delta + dlse)."""
     b, p, hd = q.shape
@@ -430,18 +766,30 @@ def _flash_bwd(q, k, v, seg_q, seg_k, out, lse, do, causal, h, dh, dlse=None):
     )
     if dlse is not None:
         delta = delta - dlse.astype(jnp.float32)
-    if p <= _MAX_SINGLE_BLOCK:
+    if _MODE == "band" and p <= _MAX_BAND:
+        bq_b = _pick_block(p, _BQ_BWD)
+        bk_b = _pick_block(p, _BAND_BK)
+        return _flash_bwd_band(
+            q, k, v, segq3.reshape(b, p, 1), segk3.reshape(b, p, 1), delta,
+            lse, do, causal, h, dh, bq_b, bk_b, bi_split,
+        )
+    if _MODE == "skip":
+        # stream pair with tiled kv/q so the segment-overlap skip engages
+        bq = _pick_block(p, _BQ_BWD)
+        bk = _pick_block(p, _BAND_BK)
+    elif p <= _MAX_SINGLE_BLOCK and bi_split == 0:
         return _flash_bwd_fused(q, k, v, segq3, segk3, delta, lse, do, causal, h, dh)
-    # dq: whole kv per tile when it fits
-    bq = _pick_block(p)
-    bk = p if p <= _MAX_SINGLE_BLOCK else _pick_block(p, 1024)
+    else:
+        # dq: whole kv per tile when it fits
+        bq = _pick_block(p)
+        bk = p if p <= _MAX_SINGLE_BLOCK else _pick_block(p, 1024)
     nq, nk = p // bq, p // bk
     qspec = pl.BlockSpec((1, bq, hd), lambda b, i, j: (b, i, 0))
     kspec = pl.BlockSpec((1, bk, hd), lambda b, i, j: (b, j, 0))
     rowq = pl.BlockSpec((1, h, bq), lambda b, i, j: (b, 0, i))
     segq = pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i))
     segk = pl.BlockSpec((1, 1, bk), lambda b, i, j: (b, 0, j))
-    common = dict(causal=causal, bq=bq, bk=bk, h=h, dh=dh)
+    common = dict(causal=causal, bq=bq, bk=bk, h=h, dh=dh, bi_split=bi_split, p=p)
     if nk == 1:
         dq_kernel = functools.partial(_dq_kernel_single, **common)
         dq_scratch = []
@@ -461,15 +809,18 @@ def _flash_bwd(q, k, v, seg_q, seg_k, out, lse, do, causal, h, dh, dlse=None):
         ),
     )(q, k, v, do, lse, delta, segq3, segk3)
     # dkv: swap the roles — kv tiles on the parallel axis, q streamed
-    bq2 = p if p <= _MAX_SINGLE_BLOCK else _pick_block(p, 1024)
-    bk2 = _pick_block(p)
+    if _MODE == "skip":
+        bq2, bk2 = _pick_block(p, _BAND_BK), _pick_block(p, _BQ_BWD)
+    else:
+        bq2 = p if p <= _MAX_SINGLE_BLOCK else _pick_block(p, 1024)
+        bk2 = _pick_block(p)
     nq2, nk2 = p // bq2, p // bk2
     qspec2 = pl.BlockSpec((1, bq2, hd), lambda b, j, i: (b, i, 0))
     kspec2 = pl.BlockSpec((1, bk2, hd), lambda b, j, i: (b, j, 0))
     rowq2 = pl.BlockSpec((1, h, bq2), lambda b, j, i: (b, 0, i))
     segq2 = pl.BlockSpec((1, 1, bq2), lambda b, j, i: (b, 0, i))
     segk2 = pl.BlockSpec((1, 1, bk2), lambda b, j, i: (b, 0, j))
-    common2 = dict(causal=causal, bq=bq2, bk=bk2, h=h, dh=dh)
+    common2 = dict(causal=causal, bq=bq2, bk=bk2, h=h, dh=dh, bi_split=bi_split, p=p)
     if nq2 == 1:
         dkv_kernel = functools.partial(_dkv_kernel_single, **common2)
         dkv_scratch = []
@@ -557,18 +908,20 @@ def _fwd_blocks(p: int):
 SAVE_ATTN_NAMES = ("attn_out", "attn_lse")
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
-def _attach_grad(qs, k, v, seg_q, seg_k, out, lse, causal, h, dh):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _attach_grad(qs, k, v, seg_q, seg_k, out, lse, causal, h, dh, bi_split=0):
     return out
 
 
-def _attach_grad_fwd(qs, k, v, seg_q, seg_k, out, lse, causal, h, dh):
+def _attach_grad_fwd(qs, k, v, seg_q, seg_k, out, lse, causal, h, dh, bi_split=0):
     return out, (qs, k, v, seg_q, seg_k, out, lse)
 
 
-def _attach_grad_bwd(causal, h, dh, residuals, g):
+def _attach_grad_bwd(causal, h, dh, bi_split, residuals, g):
     qs, k, v, seg_q, seg_k, out, lse = residuals
-    dqs, dk, dv = _flash_bwd(qs, k, v, seg_q, seg_k, out, lse, g, causal, h, dh)
+    dqs, dk, dv = _flash_bwd(
+        qs, k, v, seg_q, seg_k, out, lse, g, causal, h, dh, bi_split=bi_split
+    )
     # zero cotangents for the (stop-gradiented) out/lse inputs
     return dqs, dk, dv, None, None, jnp.zeros_like(out), jnp.zeros_like(lse)
 
@@ -640,6 +993,7 @@ def flash_attention(
     segment_ids: jnp.ndarray,  # [B, P]
     causal: bool = False,
     softmax_scale: Optional[float] = None,
+    bi_causal_split: int = 0,
 ) -> jnp.ndarray:
     from jax.ad_checkpoint import checkpoint_name
 
@@ -651,11 +1005,13 @@ def flash_attention(
         jax.lax.stop_gradient(kf),
         jax.lax.stop_gradient(vf),
         segment_ids, segment_ids, causal, bq, bk, h, dh_k,
+        bi_split=bi_causal_split,
     )
     out = checkpoint_name(out, "attn_out")
     lse = checkpoint_name(lse, "attn_lse")
     out = _attach_grad(
-        qs, kf, vf, segment_ids, segment_ids, out, lse, causal, h, dh_k
+        qs, kf, vf, segment_ids, segment_ids, out, lse, causal, h, dh_k,
+        bi_causal_split,
     )
     out = out.reshape(b, p, h, dh_k)
     return out[..., :dh] if dh_k != dh else out

@@ -65,7 +65,19 @@ class ShardGraph:
 
 
 class EdgePartitionedCorpus:
-    """Partition a big graph into per-host shards with halo closure."""
+    """Partition a big graph into per-host shards with halo closure.
+
+    Two construction modes:
+      - shard_id=None (single-controller / test mode): builds ALL shards on
+        this process from the in-memory corpus.
+      - shard_id=k (true per-host mode): builds ONLY shard k. Node FEATURES
+        are taken from `owned_feature_fn(sorted_owned_global_ids)` when
+        given (O(shard) memory — the full node_attr table is never
+        materialised on any host), else sliced from big.node_attr. Halo
+        features arrive later via `exchange_halo_features_multihost`.
+        The topology (edge_index, ~O(E) ints) and the deterministic
+        partition assignment are computed identically on every host.
+    """
 
     def __init__(
         self,
@@ -73,69 +85,94 @@ class EdgePartitionedCorpus:
         num_shards: int,
         halo_hops: int = 1,
         seed: int = 0,
+        shard_id: Optional[int] = None,
+        owned_feature_fn=None,
     ):
         self.big = big
         self.num_shards = num_shards
+        self.shard_id = shard_id
+        self.halo_hops = halo_hops
         rng = np.random.default_rng(seed)
         parts = bfs_partition(big, num_shards, rng)
         while len(parts) < num_shards:  # tiny graphs: pad with empty parts
             parts.append(np.zeros(0, np.int64))
+        self._parts = parts
         self.owner = np.full(big.num_nodes, -1, np.int64)
         for k, p in enumerate(parts):
             self.owner[p] = k
-        indptr, indices, _ = build_csr_directed(big.num_nodes, big.edge_index)
+        self._indptr, self._indices, _ = build_csr_directed(
+            big.num_nodes, big.edge_index
+        )
+        self.shards: List[Optional[ShardGraph]] = [None] * num_shards
+        if shard_id is None:
+            for k in range(num_shards):
+                self.shards[k] = self._build_shard(k, None)
+        else:
+            self.shards[shard_id] = self._build_shard(shard_id, owned_feature_fn)
 
-        def _expand(frontier: np.ndarray, in_closure: np.ndarray) -> np.ndarray:
-            """All yet-unseen neighbours of `frontier`, vectorised CSR gather
-            (no per-node Python loops — this runs at corpus scale)."""
-            counts = (indptr[frontier + 1] - indptr[frontier]).astype(np.int64)
-            total = int(counts.sum())
-            if total == 0:
-                return np.zeros(0, np.int64)
-            starts = np.repeat(indptr[frontier], counts)
-            offs = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
-            nbrs = indices[starts + offs]
-            new = np.unique(nbrs[~in_closure[nbrs]])
-            in_closure[new] = True
-            return new
+    def _expand(self, frontier: np.ndarray, in_closure: np.ndarray) -> np.ndarray:
+        """All yet-unseen neighbours of `frontier`, vectorised CSR gather
+        (no per-node Python loops — this runs at corpus scale)."""
+        indptr, indices = self._indptr, self._indices
+        counts = (indptr[frontier + 1] - indptr[frontier]).astype(np.int64)
+        total = int(counts.sum())
+        if total == 0:
+            return np.zeros(0, np.int64)
+        starts = np.repeat(indptr[frontier], counts)
+        offs = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+        nbrs = indices[starts + offs]
+        new = np.unique(nbrs[~in_closure[nbrs]])
+        in_closure[new] = True
+        return new
 
-        self.shards: List[ShardGraph] = []
-        for k in range(num_shards):
-            owned = np.asarray(parts[k], np.int64)
-            in_closure = np.zeros(big.num_nodes, bool)
-            in_closure[owned] = True
-            frontier = owned
-            halo_parts = []
-            for _ in range(halo_hops):
-                frontier = _expand(frontier, in_closure)
-                halo_parts.append(frontier)
-            halo = (
-                np.sort(np.concatenate(halo_parts))
-                if halo_parts
-                else np.zeros(0, np.int64)
+    def _build_shard(self, k: int, owned_feature_fn) -> ShardGraph:
+        big = self.big
+        owned = np.asarray(self._parts[k], np.int64)
+        in_closure = np.zeros(big.num_nodes, bool)
+        in_closure[owned] = True
+        frontier = owned
+        halo_parts = []
+        for _ in range(self.halo_hops):
+            frontier = self._expand(frontier, in_closure)
+            halo_parts.append(frontier)
+        halo = (
+            np.sort(np.concatenate(halo_parts))
+            if halo_parts
+            else np.zeros(0, np.int64)
+        )
+        global_nodes = np.concatenate([np.sort(owned), halo])
+        lookup = np.full(big.num_nodes, -1, np.int64)
+        lookup[global_nodes] = np.arange(len(global_nodes))
+        # edge partition: an edge belongs to the shard owning its source
+        src_owned = self.owner[big.edge_index[0]] == k
+        in_closure = lookup[big.edge_index[1]] >= 0
+        eids = np.flatnonzero(src_owned & in_closure)
+        ei_local = np.stack(
+            [lookup[big.edge_index[0][eids]], lookup[big.edge_index[1][eids]]]
+        ).astype(np.int32)
+        shard = ShardGraph(
+            k, global_nodes, len(owned), ei_local, self.owner[global_nodes]
+        )
+        # owned features are local immediately; halo rows stay zero until
+        # the exchange fills them
+        sorted_owned = np.sort(owned)
+        if owned_feature_fn is not None:
+            rows = np.asarray(owned_feature_fn(sorted_owned))
+            shard.node_attr = np.zeros(
+                (len(global_nodes),) + rows.shape[1:], rows.dtype
             )
-            global_nodes = np.concatenate([np.sort(owned), halo])
-            lookup = np.full(big.num_nodes, -1, np.int64)
-            lookup[global_nodes] = np.arange(len(global_nodes))
-            # edge partition: an edge belongs to the shard owning its source
-            src_owned = self.owner[big.edge_index[0]] == k
-            in_closure = lookup[big.edge_index[1]] >= 0
-            eids = np.flatnonzero(src_owned & in_closure)
-            ei_local = np.stack(
-                [lookup[big.edge_index[0][eids]], lookup[big.edge_index[1][eids]]]
-            ).astype(np.int32)
-            shard = ShardGraph(k, global_nodes, len(owned), ei_local, self.owner[global_nodes])
-            # owned features are local immediately
-            if big.node_attr is not None:
-                shard.node_attr = np.zeros(
-                    (len(global_nodes),) + big.node_attr.shape[1:], big.node_attr.dtype
-                )
-                shard.node_attr[: len(owned)] = big.node_attr[np.sort(owned)]
-            if big.y is not None:
-                y2 = np.asarray(big.y).reshape(big.num_nodes, -1)
-                shard.y = np.zeros((len(global_nodes), y2.shape[1]), y2.dtype)
-                shard.y[: len(owned)] = y2[np.sort(owned)]
-            self.shards.append(shard)
+            shard.node_attr[: len(owned)] = rows
+        elif big.node_attr is not None:
+            shard.node_attr = np.zeros(
+                (len(global_nodes),) + big.node_attr.shape[1:],
+                big.node_attr.dtype,
+            )
+            shard.node_attr[: len(owned)] = big.node_attr[sorted_owned]
+        if big.y is not None:
+            y2 = np.asarray(big.y).reshape(big.num_nodes, -1)
+            shard.y = np.zeros((len(global_nodes), y2.shape[1]), y2.dtype)
+            shard.y[: len(owned)] = y2[sorted_owned]
+        return shard
 
     # ------------------------------------------------------------------
     def exchange_halo_features_host(self) -> None:
@@ -143,6 +180,8 @@ class EdgePartitionedCorpus:
         if self.big.node_attr is None:
             return
         for shard in self.shards:
+            if shard is None:  # per-host mode: only the local shard exists
+                continue
             halo = shard.halo_nodes_global
             shard.node_attr[shard.num_owned :] = self.big.node_attr[halo]
 
@@ -217,6 +256,92 @@ class EdgePartitionedCorpus:
                     loc = shard.num_owned + np.searchsorted(halo_sorted, ids)
                     shard.node_attr[loc] = recv[d, o, : len(ids)]
 
+    def exchange_halo_features_multihost(self) -> None:
+        """True per-host halo exchange (the north-star's defining sentence):
+        this process holds ONLY its own shard — owned features in
+        shard.node_attr[:num_owned], halo rows zero — and no host ever
+        materialises the full corpus node_attr.
+
+          1. each host groups its halo ids by owning shard (the partition
+             assignment is deterministic global knowledge);
+          2. request id lists are process_allgather'ed (two rounds: counts
+             for the global pad cap, then padded ids) — O(total halo) ints;
+          3. every owner answers with the requested feature rows via ONE
+             device all-to-all over a one-device-per-process mesh (rides
+             ICI/DCN, not host RPC);
+          4. received rows scatter into the local halo block.
+
+        Requires jax.distributed with process_count == num_shards and
+        shard_id == process_index (the per-host construction mode).
+        """
+        import jax
+        import jax.numpy as jnp
+        from jax import shard_map
+        from jax.experimental import multihost_utils
+        from jax.sharding import Mesh, NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        s = self.num_shards
+        me = self.shard_id
+        assert me is not None, "multihost exchange needs per-host construction"
+        assert jax.process_count() == s and jax.process_index() == me, (
+            f"need one process per shard: process {jax.process_index()}/"
+            f"{jax.process_count()} vs shard {me}/{s}"
+        )
+        shard = self.shards[me]
+        if shard.node_attr is None:
+            return
+        feat_dim = shard.node_attr.shape[1]
+        # 1. my halo requests grouped by owner (argsort + bincount)
+        halo = shard.halo_nodes_global
+        owners = self.owner[halo]
+        order = np.argsort(owners, kind="stable")
+        h_sorted = halo[order]
+        counts = np.bincount(owners[order], minlength=s).astype(np.int64)
+        bounds = np.concatenate([[0], np.cumsum(counts)])
+        my_req = [h_sorted[bounds[o] : bounds[o + 1]] for o in range(s)]
+        # 2. global request table: cap from allgathered counts, then ids
+        all_counts = multihost_utils.process_allgather(counts)  # [s(dst), s(owner)]
+        cap = max(int(np.max(all_counts)), 1)
+        req_pad = np.full((s, cap), -1, np.int64)
+        for o in range(s):
+            req_pad[o, : len(my_req[o])] = my_req[o]
+        req_all = multihost_utils.process_allgather(req_pad)  # [s(dst), s(owner), cap]
+        # 3. my send buffer: row d = my owned feature rows that dst d asked for
+        owned_sorted = shard.global_nodes[: shard.num_owned]
+        send = np.zeros((s, cap, feat_dim), shard.node_attr.dtype)
+        for d in range(s):
+            ids = req_all[d, me]
+            ids = ids[ids >= 0]
+            if len(ids):
+                loc = np.searchsorted(owned_sorted, ids)
+                send[d, : len(ids)] = shard.node_attr[loc]
+        # one device per process; all_to_all over that axis
+        dev_by_proc = {}
+        for dev in jax.devices():
+            dev_by_proc.setdefault(dev.process_index, dev)
+        mesh = Mesh(np.asarray([dev_by_proc[i] for i in range(s)]), ("shard",))
+        sharding = NamedSharding(mesh, P("shard"))
+        buf = jax.make_array_from_process_local_data(
+            sharding, send[None].astype(np.float32)
+        )
+
+        def body(b):  # [1, s, cap, F] per device
+            return jax.lax.all_to_all(b[0], "shard", 0, 0, tiled=True)[None]
+
+        recv = jax.jit(
+            shard_map(body, mesh=mesh, in_specs=P("shard"), out_specs=P("shard"))
+        )(buf)
+        local = np.asarray(list(recv.addressable_shards)[0].data)[0]  # [s, cap, F]
+        # 4. scatter into the halo block (sorted -> searchsorted indices)
+        for o in range(s):
+            ids = my_req[o]
+            if len(ids):
+                loc = shard.num_owned + np.searchsorted(halo, ids)
+                shard.node_attr[loc] = local[o, : len(ids)].astype(
+                    shard.node_attr.dtype
+                )
+
     def prefetch_exchange(self, mesh=None):
         """Overlap the halo exchange with host-side tokenization: returns a
         join() handle while the exchange proceeds in the background."""
@@ -234,18 +359,45 @@ def shard_ego_node_dataset(
     halo_hops: int = 1,
     seed: int = 0,
     mesh=None,
+    owned_feature_fn=None,
 ):
     """Partition an EgoNodeDataset's big graph across hosts and return this
     host's local dataset (north-star wiring, SURVEY.md §2.2).
+
+    Under real multi-process execution (jax.process_count() == num_shards)
+    each host builds ONLY its own shard and halo features arrive via the
+    device all-to-all in exchange_halo_features_multihost — memory
+    O(shard), never O(corpus) for features (pass `owned_feature_fn` to
+    avoid holding big.node_attr at all). Single-process (tests, 1-host
+    deployments) keeps the all-shards construction with the local exchange.
 
     The halo feature exchange is kicked off in the background so it overlaps
     with tokenizer/vocab construction; callers must `handle.join()` before
     drawing samples (shard features are filled in place). Returns
     (local_dataset, corpus, join_handle)."""
+    import jax
+
     from ..data.sampling import EgoNodeDataset
 
-    corpus = EdgePartitionedCorpus(ds.big, num_shards, halo_hops=halo_hops, seed=seed)
-    handle = corpus.prefetch_exchange(mesh=mesh) if num_shards > 1 else None
+    multihost = num_shards > 1 and jax.process_count() == num_shards
+    if multihost:
+        corpus = EdgePartitionedCorpus(
+            ds.big,
+            num_shards,
+            halo_hops=halo_hops,
+            seed=seed,
+            shard_id=shard_id,
+            owned_feature_fn=owned_feature_fn,
+        )
+        handle = threading.Thread(
+            target=corpus.exchange_halo_features_multihost, daemon=True
+        )
+        handle.start()
+    else:
+        corpus = EdgePartitionedCorpus(
+            ds.big, num_shards, halo_hops=halo_hops, seed=seed
+        )
+        handle = corpus.prefetch_exchange(mesh=mesh) if num_shards > 1 else None
     if num_shards == 1:
         corpus.exchange_halo_features_host()
     shard = corpus.shards[shard_id]

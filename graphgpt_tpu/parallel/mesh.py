@@ -201,6 +201,35 @@ def replicate(mesh: Mesh, tree):
     )
 
 
+def host_local_rows(arr) -> np.ndarray:
+    """This process's rows of a global batch-sharded array, in the order the
+    process contributed them — the inverse of
+    make_array_from_process_local_data. Addressable shards are deduped by
+    global row offset (the batch axis may be replicated over e.g. the
+    `tensor` mesh axis, giving several shards with identical indices) and
+    concatenated in offset order."""
+    if jax.process_count() == 1:
+        return np.asarray(arr)
+    seen = {}
+    for s in arr.addressable_shards:
+        start = s.index[0].start or 0
+        if start not in seen:
+            seen[start] = np.asarray(s.data)
+    return np.concatenate([seen[k] for k in sorted(seen)])
+
+
+def all_hosts_concat(arr: np.ndarray) -> np.ndarray:
+    """Concatenate equal-shape host-local arrays across processes (the
+    reference's padded eval all_gather, misc_utils.py:472-504; shapes here
+    are kept equal by fixed per-host batch counts instead of padding)."""
+    if jax.process_count() == 1:
+        return arr
+    from jax.experimental import multihost_utils
+
+    g = multihost_utils.process_allgather(arr)
+    return np.asarray(g).reshape((-1,) + tuple(arr.shape[1:]))
+
+
 def cross_host_mean_scalar(values) -> float:
     """Mean of host-local scalars across all processes (reference
     dist.reduce of eval losses, log_eval_dump_utils.py:284-291)."""

@@ -133,6 +133,11 @@ def ring_attention_sharded(
         from ..ops.attention import xla_attention
 
         return xla_attention(q, k, v, segment_ids, softmax_scale=softmax_scale)
+    if use_pallas is None:
+        # decide by the MESH devices, not the process default backend: under
+        # the axon tunnel the default backend is the (single) TPU even when
+        # the dryrun mesh is virtual CPU devices
+        use_pallas = mesh.devices.flat[0].platform == "tpu"
     body = functools.partial(
         ring_attention,
         axis_name=axis,

@@ -130,14 +130,21 @@ class FinetunePipeline:
         self.eval_step = make_eval_step(heads.task_forward, m)
         self.eval_step_ema = make_eval_step(heads.task_forward, m, use_ema=True)
 
+        # per-host batch: the GLOBAL batch is assembled from process-local
+        # shards (mesh_lib.shard_batch), so each host loads 1/world of it —
+        # mirrors the pretrain pipeline and the reference's rank-strided FT
+        # samplers (src/utils/loader_utils.py:223-305)
         self.loader = GraphTokenLoader(
             self.dataset,
             self.tokenizer,
-            batch_size=tcfg.batch_size,
+            batch_size=max(tcfg.batch_size // jax.process_count(), 1),
             mpe=tcfg.max_length,
             pack=False,  # task rows must stay one-graph-per-row
             num_workers=tcfg.num_workers,
             seed=tcfg.seed,
+            # >1 process: per-host bucket padding would give hosts different
+            # batch shapes; pin every batch to max_length
+            fixed_length=tcfg.max_length if jax.process_count() > 1 else None,
         )
         self.ckpt = Checkpointer(os.path.join(tcfg.output_dir, "ckpt"))
         self.ckpt_ema_best = Checkpointer(
@@ -170,22 +177,102 @@ class FinetunePipeline:
             "nodev2": "nodev2_labels",
         }.get(task, "task_labels")
 
+    def _eval_batches(self, indices):
+        """(batch, sharded) pairs, multi-host safe: k full GLOBAL batches are
+        sharded across hosts with fixed shapes (every process issues the same
+        collective steps), then the remainder tail is evaluated identically
+        on every host (each host's local output rows already cover the whole
+        tail, so it is appended without an all-gather). Covers the full index
+        set exactly — multi-host metrics equal the 1-process run's."""
+        idx = np.asarray(indices)
+        pc, pi = jax.process_count(), jax.process_index()
+        if pc == 1:
+            for b in self.loader.epoch_batches(idx, epoch=0, drop_last=False):
+                yield b, False
+            return
+        bs = self.loader.batch_size
+        k = len(idx) // (bs * pc)
+        flen = self.cfg.training.max_length
+        if k:
+            for b in self.loader.epoch_batches(
+                idx[: k * bs * pc][pi::pc], epoch=0, fixed_length=flen
+            ):
+                yield b, True
+        tail = idx[k * bs * pc :]
+        if len(tail):
+            for b in self.loader.epoch_batches(
+                tail, epoch=0, fixed_length=flen, drop_last=False
+            ):
+                yield b, False
+
+    def _eval_collect(self, indices, use_ema: bool = False, want_hidden: bool = False):
+        """Run the eval step over `indices` and return full
+        (scores, labels, eval_group_idx[, hidden]) identically on every
+        host: sharded batches contribute this host's local output rows
+        (mesh_lib.host_local_rows) which are process_allgather'ed at the
+        end; replicated tail batches are appended directly."""
+        ev = self.eval_step_ema if use_ema else self.eval_step
+        sh_scores, sh_labels, sh_idx, sh_hid = [], [], [], []
+        tl_scores, tl_labels, tl_idx, tl_hid = [], [], [], []
+        # partial batches must still split over the mesh's batch axis: pad
+        # rows up to the per-host divisor and slice the outputs back
+        shape = dict(self.mesh.shape)
+        mult = max(
+            (shape.get("data", 1) * shape.get("fsdp", 1)) // jax.process_count(), 1
+        )
+        with self.mesh:
+            for batch, sharded in self._eval_batches(indices):
+                data = dict(batch.data)
+                n_real = int(np.shape(data["input_ids"])[0])
+                pad = (-n_real) % mult
+                if pad:
+                    data = {
+                        k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+                        if np.ndim(v) >= 1
+                        else v
+                        for k, v in data.items()
+                    }
+                b = mesh_lib.shard_batch(self.mesh, data)
+                out = ev(self.state, b)
+                scores, labels, idx, hid = sh_scores, sh_labels, sh_idx, sh_hid
+                if not sharded:
+                    scores, labels, idx, hid = tl_scores, tl_labels, tl_idx, tl_hid
+                scores.append(
+                    mesh_lib.host_local_rows(out["task_logits"])[:n_real].astype(
+                        np.float64
+                    )
+                )
+                labels.append(np.asarray(batch[self._label_key()])[:n_real])
+                if "eval_group" in batch:
+                    idx.append(
+                        np.asarray(batch["eval_group"]).reshape(-1)[:n_real]
+                    )
+                if want_hidden:
+                    hid.append(
+                        mesh_lib.host_local_rows(out["task_hidden_states"])[
+                            :n_real
+                        ].astype(np.float32)
+                    )
+        def _merge(sh, tl):
+            parts = []
+            if sh:
+                parts.append(mesh_lib.all_hosts_concat(np.concatenate(sh)))
+            if tl:
+                parts.append(np.concatenate(tl))
+            return np.concatenate(parts) if parts else None
+
+        scores = _merge(sh_scores, tl_scores)
+        labels = _merge(sh_labels, tl_labels)
+        idx = _merge(sh_idx, tl_idx)
+        hidden = _merge(sh_hid, tl_hid) if want_hidden else None
+        return scores, labels, idx, hidden
+
     def evaluate(self, indices, use_ema: bool = False, ogb_name: Optional[str] = None) -> Dict[str, float]:
         cfg = self.cfg
-        all_scores, all_labels, all_idx = [], [], []
-        ev = self.eval_step_ema if use_ema else self.eval_step
-        with self.mesh:
-            for batch in self.loader.epoch_batches(np.asarray(indices), epoch=0):
-                b = mesh_lib.shard_batch(self.mesh, dict(batch.data))
-                out = ev(self.state, b)
-                all_scores.append(np.asarray(out["task_logits"], np.float64))
-                all_labels.append(np.asarray(batch[self._label_key()]))
-                if "eval_group" in batch:
-                    all_idx.append(np.asarray(batch["eval_group"]).reshape(-1))
-        if not all_scores:
+        scores, labels, idx_arr, _ = self._eval_collect(indices, use_ema)
+        if scores is None:
             return {}
-        scores = np.concatenate(all_scores)
-        labels = np.concatenate(all_labels)
+        all_idx = [idx_arr] if idx_arr is not None else []
         if cfg.training.task_type == "nodev2":
             # token-level labels: flatten and drop -100 positions
             flat = labels.reshape(-1)
@@ -218,41 +305,38 @@ class FinetunePipeline:
 
     def dump_predictions(self, indices, path: str, use_ema: bool = False):
         """Prediction dump (reference save_pred / dump_infer_results,
-        log_eval_dump_utils.py:794-799): idx, logits..., label... rows."""
+        log_eval_dump_utils.py:794-799): logits..., label... rows. Involves
+        collective eval steps — call on EVERY process; rank 0 writes."""
         import csv
 
-        ev = self.eval_step_ema if use_ema else self.eval_step
-        with self.mesh, open(path, "w", newline="") as f:
-            writer = None
-            for batch in self.loader.epoch_batches(np.asarray(indices), epoch=0):
-                b = mesh_lib.shard_batch(self.mesh, dict(batch.data))
-                out = ev(self.state, b)
-                logits = np.asarray(out["task_logits"])
-                labels = np.asarray(batch[self._label_key()])
-                for row_logits, row_label in zip(logits, labels):
-                    if writer is None:
-                        writer = csv.writer(f)
-                        writer.writerow(
-                            [f"logit_{i}" for i in range(len(np.atleast_1d(row_logits)))]
-                            + [f"label_{i}" for i in range(len(np.atleast_1d(row_label)))]
-                        )
+        logits, labels, _, _ = self._eval_collect(indices, use_ema)
+        if jax.process_index() != 0 or logits is None:
+            return
+        with open(path, "w", newline="") as f:
+            writer = csv.writer(f)
+            head_written = False
+            for row_logits, row_label in zip(logits, labels):
+                if not head_written:
                     writer.writerow(
-                        list(np.atleast_1d(row_logits)) + list(np.atleast_1d(row_label))
+                        [f"logit_{i}" for i in range(len(np.atleast_1d(row_logits)))]
+                        + [f"label_{i}" for i in range(len(np.atleast_1d(row_label)))]
                     )
+                    head_written = True
+                writer.writerow(
+                    list(np.atleast_1d(row_logits)) + list(np.atleast_1d(row_label))
+                )
         log_line(f"predictions dumped to {path}")
 
     def infer_hidden_states(self, indices, path: str):
         """Pooled hidden-state dump (reference ft_infer_hidden_states,
-        log_eval_dump_utils.py:40-74), stored as npz."""
-        chunks = []
-        with self.mesh:
-            for batch in self.loader.epoch_batches(np.asarray(indices), epoch=0):
-                b = mesh_lib.shard_batch(self.mesh, dict(batch.data))
-                out = self.eval_step(self.state, b)
-                chunks.append(np.asarray(out["task_hidden_states"], np.float32))
-        arr = np.concatenate(chunks) if chunks else np.zeros((0,))
-        np.savez(path, hidden_states=arr)
-        log_line(f"hidden states {arr.shape} dumped to {path}")
+        log_eval_dump_utils.py:40-74), stored as npz. Collective — call on
+        every process; rank 0 writes."""
+        _, _, _, arr = self._eval_collect(indices, want_hidden=True)
+        if arr is None:
+            arr = np.zeros((0,))
+        if jax.process_index() == 0:
+            np.savez(path, hidden_states=arr)
+            log_line(f"hidden states {arr.shape} dumped to {path}")
         return arr
 
     def _epoch_eval(self, epoch: int, global_step: int, ogb_name: Optional[str] = None):
@@ -302,8 +386,9 @@ class FinetunePipeline:
                 name = "/".join(str(getattr(p, "key", p)) for p in path)
                 self.tb.add_histogram(f"params/{name}", np.asarray(leaf), epoch)
             self.tb.flush()
-        # prediction dumps per split (ft_eval.save_pred)
-        if tcfg.save_pred and jax.process_index() == 0:
+        # prediction dumps per split (ft_eval.save_pred) — collective eval
+        # steps inside, so every process participates (rank 0 writes)
+        if tcfg.save_pred:
             out = tcfg.output_dir
             self.dump_predictions(
                 self.train_idx[: tcfg.k_samplers], os.path.join(out, "train_results.csv")
@@ -354,6 +439,14 @@ class FinetunePipeline:
                 if hasattr(self.dataset, "reset_samples"):
                     self.dataset.reset_samples(epoch, tcfg.seed)
                 idx = np.random.default_rng((tcfg.seed, epoch)).permutation(self.train_idx)
+                # per-host strided shard of the permutation (reference
+                # distribute_sampler_with_rnd_seed, loader_utils.py:78-90),
+                # truncated to a common multiple so every process runs the
+                # SAME number of collective train steps per epoch
+                pc, pi = jax.process_count(), jax.process_index()
+                if pc > 1:
+                    per = self.loader.batch_size * pc
+                    idx = idx[: len(idx) - len(idx) % per][pi::pc]
                 for batch in self.loader.prefetched(idx, epoch):
                     b = mesh_lib.shard_batch(self.mesh, dict(batch.data))
                     self.state, metrics = self.train_step(self.state, b, rng)

@@ -139,6 +139,11 @@ class PretrainPipeline:
             m.use_discriminative = True
         if tcfg.task_type == "pretrain-smtp":
             m.smtp_inside = True
+        if tcfg.pack_block and tcfg.pack_tokens > 0:
+            # block-aligned packing: the loader guarantees no segment
+            # crosses a pack_block boundary, so attention may run at
+            # P=pack_block (ops/attention.py attn_block reshape)
+            m.attn_block = tcfg.pack_block
         m.finalize()
         # splits
         self.train_idx, self.valid_idx = train_valid_split(
@@ -228,7 +233,13 @@ class PretrainPipeline:
         self.train_step = make_train_step(
             self.forward_fn, m, self.tx, tcfg.optimizer, self.schedule
         )
-        self.eval_step = make_eval_step(self.forward_fn, m)
+        # eval batches may be UNPACKED (multi-host fixed-shape eval,
+        # generation sweeps), where single segments span block boundaries —
+        # the eval step must not use the attn_block factorisation
+        import dataclasses as _dc
+
+        self._m_eval = _dc.replace(m, attn_block=0) if m.attn_block else m
+        self.eval_step = make_eval_step(self.forward_fn, self._m_eval)
         # loader (optionally with reference-style per-packed-row masking)
         post_pack_fn = None
         loader_tokenizer = self.tokenizer
@@ -254,6 +265,7 @@ class PretrainPipeline:
             num_workers=tcfg.num_workers,
             seed=tcfg.seed,
             post_pack_fn=post_pack_fn,
+            pack_block=tcfg.pack_block,
         )
         # checkpointing + auto-resume
         self.ckpt = Checkpointer(os.path.join(tcfg.output_dir, "ckpt"))
@@ -555,7 +567,7 @@ class PretrainPipeline:
                             "segment_ids": segment_ids,
                         }
                         logits = heads_mod.pretrain_logits(
-                            self.state.params, m, bb
+                            self.state.params, self._m_eval, bb
                         )
                         return logits.reshape(b, p * f, -1)
 

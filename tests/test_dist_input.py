@@ -210,3 +210,108 @@ def test_partitioned_pipeline_vocab_consistency(tmp_path, big):
     finally:
         pipe_part.loader.close()
         pipe_full.loader.close()
+
+
+_MH_WORKER = r"""
+import json, os, sys
+import numpy as np
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+from graphgpt_tpu.parallel import mesh as mesh_lib
+
+mesh_lib.initialize_multihost(
+    coordinator=sys.argv[1], num_processes=2, process_id=int(sys.argv[2])
+)
+
+from graphgpt_tpu.data.datasets import erdos_renyi_graph
+from graphgpt_tpu.parallel.dist_input import EdgePartitionedCorpus
+
+# topology is global knowledge (O(E) ints); FEATURES are synthesised
+# per-node from the node id, so no process ever holds the full table
+rng = np.random.default_rng(0)
+big = erdos_renyi_graph(rng, 200, 0.04)
+F = 5
+
+def feature_fn(ids):
+    # deterministic per-node rows: row i = [i, i+1, ..., i+F-1] mod 97
+    return ((np.asarray(ids)[:, None] + np.arange(F)[None, :]) % 97).astype(np.int32)
+
+me = int(sys.argv[2])
+corpus = EdgePartitionedCorpus(
+    big, 2, halo_hops=1, seed=0, shard_id=me, owned_feature_fn=feature_fn
+)
+shard = corpus.shards[me]
+assert corpus.shards[1 - me] is None  # ONLY the local shard was built
+n_halo = len(shard.halo_nodes_global)
+assert n_halo > 0
+assert np.all(shard.node_attr[shard.num_owned:] == 0)  # halo empty pre-exchange
+
+corpus.exchange_halo_features_multihost()
+
+# oracle: recompute expected halo rows from the id-deterministic generator —
+# the full feature table is never materialised anywhere
+expected = feature_fn(shard.halo_nodes_global)
+ok = bool(np.array_equal(shard.node_attr[shard.num_owned:], expected))
+owned_ok = bool(
+    np.array_equal(
+        shard.node_attr[: shard.num_owned],
+        feature_fn(shard.global_nodes[: shard.num_owned]),
+    )
+)
+print(json.dumps({"proc": me, "halo_ok": ok, "owned_ok": owned_ok,
+                  "n_halo": n_halo}), flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_halo_exchange(tmp_path):
+    """True per-host halo exchange (r3 verdict item 3): each process builds
+    only its own shard from an id-deterministic feature function (no process
+    holds the full node_attr), request lists ride process_allgather, rows
+    ride a device all-to-all, and the received halo features equal the
+    oracle."""
+    import socket
+    import subprocess
+    import sys
+
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    coord = f"localhost:{port}"
+    env = dict(__import__("os").environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    import os as _os
+
+    cwd = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _MH_WORKER, coord, str(i)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            env=env,
+            cwd=cwd,
+        )
+        for i in range(2)
+    ]
+    import json as _json
+
+    results = {}
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err.decode()[-3000:]
+        line = [l for l in out.decode().splitlines() if l.startswith("{")][-1]
+        r = _json.loads(line)
+        results[r["proc"]] = r
+    assert set(results) == {0, 1}
+    for r in results.values():
+        assert r["halo_ok"], r
+        assert r["owned_ok"], r
+        assert r["n_halo"] > 0

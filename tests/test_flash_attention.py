@@ -137,3 +137,111 @@ def test_flash_gradients_match_xla_causal():
     g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=5e-4, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# Band kernels (segment-block skipping for packed rows)
+# ---------------------------------------------------------------------------
+def _packed_seg(p, mean_len=17, seed=0):
+    """Realistic packed row: many short segments + a padding tail."""
+    rng = np.random.default_rng(seed)
+    seg = np.zeros(p, np.int32)
+    pos, sid = 0, 1
+    while pos < p - 4:
+        ln = int(rng.integers(mean_len // 2, mean_len * 2))
+        ln = min(ln, p - 4 - pos)
+        if ln <= 0:
+            break
+        seg[pos : pos + ln] = sid
+        pos += ln
+        sid += 1
+    return seg  # last few positions stay 0 (padding)
+
+
+@pytest.mark.parametrize("mode", ["skip", "band"])
+@pytest.mark.parametrize("causal", [False, True])
+def test_band_many_segments_matches_xla(causal, mode, monkeypatch):
+    """The flagship workload shape: many short packed segments."""
+    monkeypatch.setattr(fa, "_MODE", mode)
+    b, p, h, d = 2, 256, 2, 32
+    q, k, v = _rand_qkv(b, p, h, d, seed=7)
+    seg = jnp.asarray(np.stack([_packed_seg(p, seed=s) for s in range(b)]))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(fa.flash_attention(q, k, v, seg, causal=causal).astype(jnp.float32) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(xla_attention(q, k, v, seg, causal=causal).astype(jnp.float32) ** 2)
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        out1 = fa.flash_attention(q, k, v, seg, causal=causal)
+        g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    out2 = xla_attention(q, k, v, seg, causal=causal)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), rtol=2e-4, atol=2e-4)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.parametrize("mode", ["skip", "band", "legacy"])
+def test_band_bi_causal_matches_xla(mode, monkeypatch):
+    """bi_causal_split in-kernel (VERDICT r3 item 7): rows before
+    split=P-bi attend the bidirectional prefix; rows at/after attend
+    causally to everything (reference attn_mask_utils.py:128-155)."""
+    monkeypatch.setattr(fa, "_MODE", mode)
+    b, p, h, d = 1, 256, 2, 32
+    bi = 64
+    q, k, v = _rand_qkv(b, p, h, d, seed=8)
+    seg = np.ones((b, p), np.int32)
+    seg[:, 240:] = 0
+    seg = jnp.asarray(seg)
+
+    def loss_flash(q, k, v):
+        out = fa.flash_attention(q, k, v, seg, causal=False, bi_causal_split=bi)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    def loss_xla(q, k, v):
+        out = xla_attention(q, k, v, seg, causal=False, bi_causal_split=bi)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        out1 = fa.flash_attention(q, k, v, seg, causal=False, bi_causal_split=bi)
+        g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    out2 = xla_attention(q, k, v, seg, causal=False, bi_causal_split=bi)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), rtol=2e-4, atol=2e-4)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_legacy_dense_path_still_matches(causal, monkeypatch):
+    """GGT_FLASH_MODE=legacy restores the round-3 dense-tile kernels."""
+    monkeypatch.setattr(fa, "_MODE", "legacy")
+    b, p, h, d = 1, 128, 2, 32
+    q, k, v = _rand_qkv(b, p, h, d, seed=9)
+    seg = np.ones((b, p), np.int32)
+    seg[:, 50:90] = 2
+    seg[:, 90:] = 0
+    seg = jnp.asarray(seg)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(fa.flash_attention(q, k, v, seg, causal=causal).astype(jnp.float32) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(xla_attention(q, k, v, seg, causal=causal).astype(jnp.float32) ** 2)
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        out1 = fa.flash_attention(q, k, v, seg, causal=causal)
+        g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    out2 = xla_attention(q, k, v, seg, causal=causal)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), rtol=2e-4, atol=2e-4)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=5e-4, atol=5e-4)

@@ -152,3 +152,128 @@ def test_scaling_harness_single_host():
     r = run_hosts(1, quick=True, devices_per_host=2, force_cpu=True)
     assert r["hosts"] == 1 and r["devices"] == 2
     assert r["global_tokens_per_s"] > 0
+
+
+_FT_WORKER = r"""
+import json, os, sys
+import numpy as np
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+nproc = int(sys.argv[4])
+if nproc > 1:
+    from graphgpt_tpu.parallel import mesh as mesh_lib
+
+    mesh_lib.initialize_multihost(
+        coordinator=sys.argv[1], num_processes=nproc, process_id=int(sys.argv[2])
+    )
+    assert jax.process_count() == nproc
+
+from graphgpt_tpu.config import Config
+from graphgpt_tpu.training.finetune import FinetunePipeline
+
+cfg = Config()
+cfg.tokenization.semantics.node.discrete = "node_attr"
+cfg.tokenization.semantics.node.dim = 9
+cfg.tokenization.semantics.edge.discrete = "edge_attr"
+cfg.tokenization.semantics.edge.dim = 3
+cfg.model.hidden_size = 64
+cfg.model.num_hidden_layers = 2
+cfg.model.num_attention_heads = 4
+cfg.model.head_dim = 16
+cfg.model.intermediate_size = 128
+cfg.model.dtype = "float32"
+cfg.model.problem_type = "regression"
+cfg.model.loss_type = "l1"
+cfg.model.num_labels = 1
+cfg.training.task_type = "graph"
+cfg.training.batch_size = 8       # GLOBAL batch; 4 rows per host when nproc=2
+cfg.training.max_length = 64
+cfg.training.num_workers = 0
+cfg.training.schedule.epochs = 1
+cfg.training.schedule.logging_steps = 1000
+cfg.training.epoch_per_eval = 1000  # no mid-run eval; we call evaluate below
+cfg.training.tot_samples = 90
+cfg.training.output_dir = sys.argv[3]
+
+pipe = FinetunePipeline(cfg)
+pipe.setup()
+# deterministic split: 80 train / 11 valid -> the sharded eval path covers
+# 8 (one full global batch) and the replicated tail covers 3
+pipe.train_idx = np.arange(0, 72)
+pipe.valid_idx = np.arange(72, 83)
+pipe.test_idx = np.arange(83, 90)
+pipe.run()
+scores, labels, _, _ = pipe._eval_collect(pipe.valid_idx)
+res = pipe.evaluate(pipe.valid_idx)
+print(json.dumps({
+    "proc": int(sys.argv[2]),
+    "n_eval_rows": int(scores.shape[0]),
+    "labels_sum": float(np.sort(labels.reshape(-1)).sum()),
+    "valid_mae": float(res["mae"]),
+    "final_step": int(pipe.state.step),
+}), flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_finetune(tmp_path):
+    """Multi-host FT (r3 verdict item 2): per-host strided index shards, a
+    world-divided loader batch, and a multi-host-safe evaluate() — no sample
+    duplication (eval covers exactly len(valid_idx) rows) and metrics equal
+    to the 1-process run."""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    # 1-process reference run (2 devices -> same 2-way mesh batch layout)
+    ref = subprocess.run(
+        [sys.executable, "-c", _FT_WORKER, "-", "0", str(tmp_path / "ref"), "1"],
+        capture_output=True,
+        env=env,
+        cwd=cwd,
+        timeout=600,
+    )
+    assert ref.returncode == 0, ref.stderr.decode()[-3000:]
+    ref_r = json.loads(
+        [l for l in ref.stdout.decode().splitlines() if l.startswith("{")][-1]
+    )
+
+    port = _free_port()
+    coord = f"localhost:{port}"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _FT_WORKER, coord, str(i), str(tmp_path / "mp"), "2"],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            env=env,
+            cwd=cwd,
+        )
+        for i in range(2)
+    ]
+    results = {}
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err.decode()[-3000:]
+        line = [l for l in out.decode().splitlines() if l.startswith("{")][-1]
+        r = json.loads(line)
+        results[r["proc"]] = r
+    assert set(results) == {0, 1}
+    for r in results.values():
+        # eval covers the full valid split EXACTLY once (8 sharded + 3 tail)
+        assert r["n_eval_rows"] == 11, r
+        assert r["labels_sum"] == ref_r["labels_sum"], (r, ref_r)
+        # same number of optimizer steps as the 1-process run: the global
+        # batch is world-divided, not world-duplicated
+        assert r["final_step"] == ref_r["final_step"], (r, ref_r)
+    # both processes report identical metrics, matching the 1-process run
+    assert results[0]["valid_mae"] == results[1]["valid_mae"]
+    np.testing.assert_allclose(
+        results[0]["valid_mae"], ref_r["valid_mae"], rtol=2e-3, atol=2e-4
+    )

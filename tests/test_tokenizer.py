@@ -232,3 +232,63 @@ def test_nodev2_task():
     jb = {k: jnp.asarray(v) for k, v in batch.data.items()}
     out = jax.jit(lambda p, b: H.task_forward(p, mcfg, b))(params, jb)
     assert np.isfinite(float(out["loss"]))
+
+
+def test_block_aligned_packing(tokenizer):
+    """pack_samples(block=G): no sample crosses a G boundary, every token
+    accounted for, waste bounded; gaps carry segment id 0 (negative
+    segment_lengths encoding) so attention at P=G equals attention at
+    P=mpe (ops/attention.py attn_block)."""
+    G, MPE = 64, 256
+    ds = SyntheticMolDataset(96, seed=7)
+    rng = np.random.default_rng(0)
+    samples = [tokenizer(ds[i], rng) for i in range(96)]
+    total_tokens = sum(min(s.seq_len, G) for s in samples)
+    packed = list(pack_samples(iter(samples), mpe=MPE, block=G))
+    seen_tokens = 0
+    for row in packed:
+        batch = collate([row], mpe=MPE, bucket=8, fixed_length=MPE)
+        seg = batch["segment_ids"][0]
+        seen_tokens += int((seg > 0).sum())
+        # no segment crosses a block boundary
+        for sid in np.unique(seg[seg > 0]):
+            pos = np.flatnonzero(seg == sid)
+            assert pos[-1] // G == pos[0] // G, (sid, pos[0], pos[-1])
+        # ids on non-pad positions are non-decreasing
+        nz = seg[seg > 0]
+        assert (np.diff(nz) >= 0).all()
+    assert seen_tokens == total_tokens  # nothing lost, nothing duplicated
+    # waste stays small with the best-fit lookahead
+    capacity = len(packed) * MPE
+    assert seen_tokens / capacity > 0.8
+
+
+def test_attn_block_factorisation_matches_full():
+    """attention(attn_block=G) == attention(attn_block=0) when no segment
+    crosses a G boundary."""
+    import jax.numpy as jnp
+
+    from graphgpt_tpu.ops.attention import attention
+
+    rng = np.random.default_rng(3)
+    b, p, h, d, G = 2, 256, 2, 16, 64
+    q = jnp.asarray(rng.normal(size=(b, p, h, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, p, h, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, p, h, d)), jnp.float32)
+    seg = np.zeros((b, p), np.int32)
+    for r in range(b):
+        sid = 1
+        for blk in range(p // G):
+            pos = blk * G
+            while pos < (blk + 1) * G - 4:
+                ln = int(rng.integers(8, 40))
+                ln = min(ln, (blk + 1) * G - pos)
+                seg[r, pos : pos + ln] = sid
+                pos += ln
+                sid += 1
+    seg = jnp.asarray(seg)
+    full = attention(q, k, v, seg, impl="xla")
+    blocked = attention(q, k, v, seg, impl="xla", attn_block=G)
+    np.testing.assert_allclose(
+        np.asarray(full), np.asarray(blocked), rtol=2e-5, atol=2e-5
+    )

@@ -45,6 +45,13 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--causal", action="store_true")
     ap.add_argument("--impl", action="append", default=[])
+    ap.add_argument(
+        "--packed",
+        type=int,
+        default=0,
+        help="mean packed-segment length (0 = one dense segment per row); "
+        "the flagship PCQM4M-v2 SMTP workload packs ~32-token segments",
+    )
     args = ap.parse_args()
     _enable_compile_cache()
 
@@ -58,7 +65,18 @@ def main():
     q = jnp.asarray(rng.normal(0, 1, (b, p, h, dh)), jnp.bfloat16)
     k = jnp.asarray(rng.normal(0, 1, (b, p, h, dh)), jnp.bfloat16)
     v = jnp.asarray(rng.normal(0, 1, (b, p, h, dh)), jnp.bfloat16)
-    seg = jnp.ones((b, p), jnp.int32)
+    if args.packed > 0:
+        segs = np.zeros((b, p), np.int32)
+        for r in range(b):
+            pos, sid = 0, 1
+            while pos < p:
+                ln = min(int(rng.integers(args.packed // 2, args.packed * 2)), p - pos)
+                segs[r, pos : pos + ln] = sid
+                pos += ln
+                sid += 1
+        seg = jnp.asarray(segs)
+    else:
+        seg = jnp.ones((b, p), jnp.int32)
     causal = args.causal
 
     impls = {}

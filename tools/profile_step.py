@@ -28,6 +28,7 @@ def main():
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--logdir", default="")
+    ap.add_argument("--block", type=int, default=0)
     args = ap.parse_args()
 
     import jax
@@ -38,13 +39,15 @@ def main():
     from graphgpt_tpu.training import optimizer as opt_lib
     from graphgpt_tpu.training.steps import init_train_state, make_train_step
 
-    cfg = _flagship_cfg(seq=args.seq)
+    cfg = _flagship_cfg(seq=args.seq, attn_block=args.block)
     params = heads.init_pretrain_params(cfg, jax.random.PRNGKey(0))
     ocfg = OptimizerConfig(lr=3e-4)
     tx = opt_lib.make_optimizer(ocfg, 1000, 100)
     state = init_train_state(params, tx)
     step = make_train_step(heads.pretrain_forward, cfg, tx, ocfg)
-    batch = _fake_batch(args.batch, args.seq, cfg.stacked_feat, cfg.vocab_size)
+    batch = _fake_batch(
+        args.batch, args.seq, cfg.stacked_feat, cfg.vocab_size, block=args.block
+    )
     rng = jax.random.PRNGKey(0)
     state, m = step(state, batch, rng)
     _ = float(m["loss"])  # compile + settle
