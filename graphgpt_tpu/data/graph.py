@@ -187,7 +187,22 @@ class GraphBatchStore:
         for i, g in enumerate(graphs):
             self._node_ptr[i + 1] = self._node_ptr[i] + g.num_nodes
             self._edge_ptr[i + 1] = self._edge_ptr[i] + g.num_edges
-        self.edge_index = np.concatenate([g.edge_index for g in graphs], axis=1) if graphs else np.zeros((2, 0), np.int32)
+        # contract: edge_index holds GLOBAL node ids (graph i's edges are
+        # offset by node_ptr[i]); get() subtracts the offset back. The
+        # round-4 molhiv golden-fixture test caught this collate writing
+        # graph-LOCAL ids, which silently corrupted every graph after the
+        # first on the get() path.
+        self.edge_index = (
+            np.concatenate(
+                [
+                    g.edge_index + np.int64(self._node_ptr[i])
+                    for i, g in enumerate(graphs)
+                ],
+                axis=1,
+            ).astype(np.int32)
+            if graphs
+            else np.zeros((2, 0), np.int32)
+        )
         self.node_attr = (
             np.concatenate([g.node_attr for g in graphs], axis=0)
             if graphs and graphs[0].node_attr is not None

@@ -114,7 +114,11 @@ def write_npz_shards(
         payload = {
             "node_ptr": node_ptr,
             "edge_ptr": edge_ptr,
-            "edge_index": np.concatenate([g.edge_index for g in buf], axis=1),
+            # npz contract: edges carry GLOBAL (node_ptr-offset) node ids
+            "edge_index": np.concatenate(
+                [g.edge_index + np.int64(node_ptr[i]) for i, g in enumerate(buf)],
+                axis=1,
+            ),
         }
         if buf[0].node_attr is not None:
             payload["node_attr"] = np.concatenate([g.node_attr for g in buf])

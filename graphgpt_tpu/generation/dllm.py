@@ -81,6 +81,51 @@ def _scatter_rows(indices, values):
     ].set(values)
 
 
+def _unmask_body(logits_fn, cfg, mask_token_id, timesteps, extra):
+    """One diffusion-unmask step (shared by the jitted batched while_loop
+    and the per-example history loop)."""
+    alg = cfg.alg
+    steps = cfg.steps
+
+    def body(carry):
+        x, i, rng = carry
+        rng, r_samp, r_alg = jax.random.split(rng, 3)
+        mask = x == mask_token_id  # [B, T]
+        logits = logits_fn(x, *extra)
+        confidence, x0 = sample_tokens(
+            logits,
+            r_samp,
+            temperature=cfg.temperature,
+            top_p=cfg.top_p if cfg.top_p > 0 else None,
+            top_k=cfg.top_k if cfg.top_k > 0 else None,
+            margin_confidence=(alg == "topk_margin"),
+            neg_entropy=(alg == "entropy"),
+        )
+        t, s = timesteps[i], timesteps[i + 1]
+        p_transfer = jnp.where(i < steps - 1, 1.0 - s / t, 1.0)
+        if alg == "origin":
+            transfer = jax.random.uniform(r_alg, x.shape) < p_transfer
+            new_x = jnp.where(mask & transfer, x0, x)
+        else:
+            conf = jnp.where(mask, confidence, -jnp.inf)
+            if cfg.alg_temp and cfg.alg_temp > 0:
+                g = -jnp.log(
+                    -jnp.log(jax.random.uniform(r_alg, conf.shape) + 1e-9) + 1e-9
+                )
+                conf = conf / cfg.alg_temp + g
+            num_masked = jnp.sum(mask, axis=-1)  # [B]
+            num_transfer = jnp.floor(num_masked * p_transfer).astype(jnp.int32)
+            order = jnp.argsort(-conf, axis=-1)
+            ranks = _scatter_rows(
+                order, jnp.broadcast_to(jnp.arange(x.shape[-1]), x.shape)
+            )
+            unmask = mask & (ranks < num_transfer[:, None])
+            new_x = jnp.where(unmask, x0, x)
+        return new_x, i + 1, rng
+
+    return body
+
+
 def make_unmask_sampler(
     logits_fn: Callable[[jnp.ndarray], jnp.ndarray],
     cfg: GenerationConfig,
@@ -95,47 +140,10 @@ def make_unmask_sampler(
     """
     steps = cfg.steps
     eps = cfg.eps
-    alg = cfg.alg
     timesteps = jnp.linspace(1.0, eps, steps + 1)
 
     def make_body(extra):
-        def body(carry):
-            x, i, rng = carry
-            rng, r_samp, r_alg = jax.random.split(rng, 3)
-            mask = x == mask_token_id  # [B, T]
-            logits = logits_fn(x, *extra)
-            confidence, x0 = sample_tokens(
-                logits,
-                r_samp,
-                temperature=cfg.temperature,
-                top_p=cfg.top_p if cfg.top_p > 0 else None,
-                top_k=cfg.top_k if cfg.top_k > 0 else None,
-                margin_confidence=(alg == "topk_margin"),
-                neg_entropy=(alg == "entropy"),
-            )
-            t, s = timesteps[i], timesteps[i + 1]
-            p_transfer = jnp.where(i < steps - 1, 1.0 - s / t, 1.0)
-            if alg == "origin":
-                transfer = jax.random.uniform(r_alg, x.shape) < p_transfer
-                new_x = jnp.where(mask & transfer, x0, x)
-            else:
-                conf = jnp.where(mask, confidence, -jnp.inf)
-                if cfg.alg_temp and cfg.alg_temp > 0:
-                    g = -jnp.log(
-                        -jnp.log(jax.random.uniform(r_alg, conf.shape) + 1e-9) + 1e-9
-                    )
-                    conf = conf / cfg.alg_temp + g
-                num_masked = jnp.sum(mask, axis=-1)  # [B]
-                num_transfer = jnp.floor(num_masked * p_transfer).astype(jnp.int32)
-                order = jnp.argsort(-conf, axis=-1)
-                ranks = _scatter_rows(
-                    order, jnp.broadcast_to(jnp.arange(x.shape[-1]), x.shape)
-                )
-                unmask = mask & (ranks < num_transfer[:, None])
-                new_x = jnp.where(unmask, x0, x)
-            return new_x, i + 1, rng
-
-        return body
+        return _unmask_body(logits_fn, cfg, mask_token_id, timesteps, extra)
 
     def cond(carry):
         x, i, _ = carry
@@ -149,6 +157,46 @@ def make_unmask_sampler(
         return out
 
     return sample
+
+
+def sample_per_example(
+    logits_fn: Callable,
+    cfg: GenerationConfig,
+    mask_token_id: int,
+    x_flat: jnp.ndarray,  # [T] or [1, T]
+    rng: jax.Array,
+    *extra,
+    output_history: bool = False,
+):
+    """Per-sample decoding loop (reference sample_per_example,
+    src/utils/generation_utils.py:317-436): ONE example, with the step
+    count adapted to its mask count — steps = min(#masked, cfg.steps) —
+    and an optional per-step history trace.
+
+    The batched sampler (make_unmask_sampler) subsumes this for eval
+    throughput (reference eval_gen_per_batch is the default there too);
+    this exists for behaviour parity with the reference's per-example flow
+    and for debugging traces. Returns (x, histories) where histories is a
+    list of [1, T] snapshots (None unless output_history).
+    """
+    import dataclasses
+
+    x = x_flat.reshape(1, -1)
+    n_masked = int(jnp.sum(x == mask_token_id))
+    steps = max(min(n_masked, cfg.steps), 1)
+    cfg_i = dataclasses.replace(cfg, steps=steps)
+    if not output_history:
+        sampler = make_unmask_sampler(logits_fn, cfg_i, mask_token_id)
+        return sampler(x, rng, *extra), None
+    # history mode: run the same body step by step (eval/debug only)
+    timesteps = jnp.linspace(1.0, cfg_i.eps, steps + 1)
+    body = _unmask_body(logits_fn, cfg_i, mask_token_id, timesteps, extra)
+    carry = (x, jnp.zeros((), jnp.int32), rng)
+    histories = []
+    for _ in range(steps):
+        carry = body(carry)
+        histories.append(carry[0])
+    return carry[0], histories
 
 
 def generation_accuracy(

@@ -161,13 +161,14 @@ def attention(
         impl = "pallas" if (on_tpu and q.shape[1] >= 1024) else "xla"
     if impl == "ring":
         # sequence-parallel ring attention over the mesh's `seq` axis
-        # (SURVEY §5.7 stretch; reference has no CP/SP at all)
+        # (SURVEY §5.7 stretch; reference has no CP/SP at all); causal
+        # (NTP) handled by ring-level chunk ordering
         from ..parallel.mesh import current_mesh
         from ..parallel.ring_attention import ring_attention_sharded
 
-        assert not causal and bi_causal_split == 0, (
-            "ring attention currently supports the bidirectional "
-            "segment-masked setting (the flagship pretrain configs)"
+        assert bi_causal_split == 0, (
+            "ring attention supports bidirectional and causal segment "
+            "masking; bi-causal decode rows are an eval-time path"
         )
         mesh = current_mesh()
         assert mesh is not None and "seq" in mesh.shape, (
@@ -175,7 +176,8 @@ def attention(
             "mesh has a 'seq' axis"
         )
         return ring_attention_sharded(
-            q, k, v, segment_ids, mesh, softmax_scale=softmax_scale
+            q, k, v, segment_ids, mesh, softmax_scale=softmax_scale,
+            causal=causal,
         )
     if impl == "pallas":
         from .flash_attention import flash_attention

@@ -1024,13 +1024,18 @@ def flash_attention_chunk(
     seg_q: jnp.ndarray,  # [B, Pq]
     seg_k: jnp.ndarray,  # [B, Pk]
     softmax_scale: Optional[float] = None,
+    causal: bool = False,
 ):
     """One ring-attention chunk: q attends the visiting kv block.
 
     Returns (out, lse) with BOTH outputs differentiable (the ring combine
-    out_tot = sum_i exp(lse_i - lse_tot) out_i consumes lse). Bidirectional
-    segment masking only: the flagship pretrain configs are non-causal
-    (SURVEY §1 L6); causal ring support would add global-offset plumbing.
+    out_tot = sum_i exp(lse_i - lse_tot) out_i consumes lse).
+
+    causal=True applies the INTRA-chunk causal mask — correct only when q
+    and kv are the same ring chunk (the t=0 ring step); the causal ring
+    handles earlier/later chunks as fully-visible/skipped at the ring
+    level (parallel/ring_attention.py), so no global-offset plumbing is
+    needed in the kernel.
     """
     b, p, h, dh = q.shape
     assert k.shape[1] == p, "ring chunks must be equal-length"
@@ -1040,10 +1045,10 @@ def flash_attention_chunk(
         jax.lax.stop_gradient(qs),
         jax.lax.stop_gradient(kf),
         jax.lax.stop_gradient(vf),
-        seg_q, seg_k, False, bq, bk, h, dh_k,
+        seg_q, seg_k, causal, bq, bk, h, dh_k,
     )
     out, lse = _attach_grad_lse(
-        qs, kf, vf, seg_q, seg_k, out, lse, False, h, dh_k
+        qs, kf, vf, seg_q, seg_k, out, lse, causal, h, dh_k
     )
     out = out.reshape(b, p, h, dh_k)
     return (out[..., :dh] if dh_k != dh else out), lse

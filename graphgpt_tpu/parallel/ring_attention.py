@@ -14,8 +14,13 @@ whose custom VJP also carries the lse cotangent
 (ops/flash_attention.flash_attention_chunk), the ppermute rotations and
 the merge are plain differentiable jax, and the step loop is a lax.scan.
 
-Bidirectional + segment-id masking (the flagship pretrain setting;
-causal ring would need global-offset plumbing in the chunk mask).
+Supports bidirectional + segment-id masking (the flagship pretrain
+setting) AND causal masking (NTP pretrain): under causality, ring step t
+on device i holds the kv chunk originally at ring position (i - t) mod n,
+which is either this device's own chunk (t=0: intra-chunk causal mask),
+an earlier chunk (fully visible, bidirectional segment mask), or a later
+chunk (fully masked — the chunk computation is skipped with lax.cond, so
+causal ring does ~half the chunk work, like a causal kernel should).
 """
 
 from __future__ import annotations
@@ -30,9 +35,11 @@ from jax.sharding import PartitionSpec as P
 _NEG_INF = -1e30
 
 
-def xla_chunk_with_lse(q, k, v, seg_q, seg_k, softmax_scale=None):
+def xla_chunk_with_lse(q, k, v, seg_q, seg_k, softmax_scale=None, causal=False):
     """Plain-XLA (out, lse) chunk — natively differentiable; used off-TPU
-    and as the numerics oracle for the Pallas chunk kernel."""
+    and as the numerics oracle for the Pallas chunk kernel. causal=True is
+    only meaningful when q and kv are the SAME ring chunk (local indices
+    equal global-offset differences)."""
     b, p, h, dh = q.shape
     scale = softmax_scale if softmax_scale is not None else dh**-0.5
     s = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
@@ -40,6 +47,9 @@ def xla_chunk_with_lse(q, k, v, seg_q, seg_k, softmax_scale=None):
     valid = (seg_q[:, None, :, None] == seg_k[:, None, None, :]) & (
         seg_k[:, None, None, :] > 0
     )
+    if causal:
+        idx = jnp.arange(p)
+        valid = valid & (idx[None, None, :, None] >= idx[None, None, None, :])
     s = jnp.where(valid, s, _NEG_INF)
     m = jnp.max(s, axis=-1)  # [B, H, Pq]
     p_ = jnp.exp(s - m[..., None])
@@ -55,12 +65,14 @@ def xla_chunk_with_lse(q, k, v, seg_q, seg_k, softmax_scale=None):
     return out, lse
 
 
-def _chunk(q, k, v, seg_q, seg_k, softmax_scale, use_pallas: bool):
+def _chunk(q, k, v, seg_q, seg_k, softmax_scale, use_pallas: bool, causal=False):
     if use_pallas:
         from ..ops.flash_attention import flash_attention_chunk
 
-        return flash_attention_chunk(q, k, v, seg_q, seg_k, softmax_scale)
-    return xla_chunk_with_lse(q, k, v, seg_q, seg_k, softmax_scale)
+        return flash_attention_chunk(
+            q, k, v, seg_q, seg_k, softmax_scale, causal=causal
+        )
+    return xla_chunk_with_lse(q, k, v, seg_q, seg_k, softmax_scale, causal=causal)
 
 
 def ring_attention(
@@ -72,17 +84,50 @@ def ring_attention(
     axis_size: int,
     softmax_scale: Optional[float] = None,
     use_pallas: Optional[bool] = None,
+    causal: bool = False,
 ) -> jnp.ndarray:
-    """shard_map body: full bidirectional segment attention of the local q
-    shard against the WHOLE (ring-distributed) sequence."""
+    """shard_map body: segment attention of the local q shard against the
+    WHOLE (ring-distributed) sequence, bidirectional or causal."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     b, pl_, h, dh = q.shape
     perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+    iq = jax.lax.axis_index(axis_name)
 
-    def step(carry, _):
+    def step(carry, t):
         kc, vc, segc, acc, m, l = carry
-        out_i, lse_i = _chunk(q, kc, vc, segment_ids, segc, softmax_scale, use_pallas)
+        if not causal:
+            out_i, lse_i = _chunk(
+                q, kc, vc, segment_ids, segc, softmax_scale, use_pallas
+            )
+        else:
+            # ring step t holds the kv chunk from position (iq - t) mod n:
+            # own chunk (t=0, intra-chunk causal), an earlier chunk (fully
+            # visible), or a later chunk (fully masked -> skipped)
+            def own(_):
+                return _chunk(
+                    q, kc, vc, segment_ids, segc, softmax_scale, use_pallas,
+                    causal=True,
+                )
+
+            def earlier_or_skip(_):
+                def earlier(_):
+                    return _chunk(
+                        q, kc, vc, segment_ids, segc, softmax_scale, use_pallas
+                    )
+
+                def skip(_):
+                    # derive from q so the outputs carry the same device-
+                    # varying vma type as the chunk kernel's (plain
+                    # constants are unvarying and fail shard_map's check)
+                    zero_lse = (
+                        jnp.swapaxes(q[..., 0].astype(jnp.float32), 1, 2) * 0.0
+                    )
+                    return jnp.zeros_like(q), zero_lse + _NEG_INF
+
+                return jax.lax.cond(t <= iq, earlier, skip, None)
+
+            out_i, lse_i = jax.lax.cond(t == 0, own, earlier_or_skip, None)
         # running log-sum-exp merge across ring steps (all fp32)
         m_new = jnp.maximum(m, lse_i)  # [B, H, Pl]
         alpha = jnp.exp(m - m_new)
@@ -105,7 +150,7 @@ def ring_attention(
     m0 = zero_bhp + _NEG_INF
     l0 = zero_bhp
     (kc, vc, segc, acc, m, l), _ = jax.lax.scan(
-        step, (k, v, segment_ids, acc0, m0, l0), None, length=axis_size
+        step, (k, v, segment_ids, acc0, m0, l0), jnp.arange(axis_size)
     )
     lsafe = jnp.where(l == 0.0, 1.0, l)
     out = acc / jnp.swapaxes(lsafe, 1, 2)[..., None]
@@ -121,6 +166,7 @@ def ring_attention_sharded(
     axis: str = "seq",
     softmax_scale: Optional[float] = None,
     use_pallas: Optional[bool] = None,
+    causal: bool = False,
 ) -> jnp.ndarray:
     """shard_map wrapper: shard the sequence axis over `axis`, run the ring.
 
@@ -132,7 +178,9 @@ def ring_attention_sharded(
     if n == 1:
         from ..ops.attention import xla_attention
 
-        return xla_attention(q, k, v, segment_ids, softmax_scale=softmax_scale)
+        return xla_attention(
+            q, k, v, segment_ids, causal=causal, softmax_scale=softmax_scale
+        )
     if use_pallas is None:
         # decide by the MESH devices, not the process default backend: under
         # the axon tunnel the default backend is the (single) TPU even when
@@ -144,6 +192,7 @@ def ring_attention_sharded(
         axis_size=n,
         softmax_scale=softmax_scale,
         use_pallas=use_pallas,
+        causal=causal,
     )
     batch = ("data", "fsdp")
     return jax.shard_map(

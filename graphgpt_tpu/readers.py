@@ -7,7 +7,8 @@ on-disk **npz contract** instead of downloading OGB archives:
 Graph-level (`<data_dir>/<name>/graphs.npz`):
     node_attr   [sum_N, Dn] int
     edge_attr   [sum_E, De] int
-    edge_index  [2, sum_E] int (node ids local per graph)
+    edge_index  [2, sum_E] int (GLOBAL node ids: graph g's edges are
+                offset by node_ptr[g]; get() subtracts the offset back)
     node_ptr    [G+1], edge_ptr [G+1]
     y           [G, T] float
     pos         [sum_N, 3] float (optional)

@@ -298,8 +298,27 @@ class FinetunePipeline:
                     d = ogb_eval.reformat_hits_inputs(pos_scores, labels)
                 res.update(ogb_eval.evaluate_ogb(ogb_name, d))
             else:
+                # graph-level OGB evaluators take one score column per task
+                # (rocauc/ap over y_pred [N, T]); binary single-label heads
+                # emit 2-class logits — reformat to the positive-class
+                # probability (reference softmax[:, 1] before the
+                # Evaluator, ogb_utils.py)
+                y_pred = preds
+                if (
+                    cfg.model.problem_type == "single_label_classification"
+                    and np.ndim(preds) == 2
+                    and preds.shape[-1] == 2
+                ):
+                    e = np.exp(preds - preds.max(-1, keepdims=True))
+                    y_pred = (e / e.sum(-1, keepdims=True))[:, 1:]
                 res.update(
-                    ogb_eval.evaluate_ogb(ogb_name, {"y_pred": preds, "y_true": labels})
+                    ogb_eval.evaluate_ogb(
+                        ogb_name,
+                        {
+                            "y_pred": y_pred,
+                            "y_true": np.asarray(labels).reshape(len(y_pred), -1),
+                        },
+                    )
                 )
         return res
 

@@ -104,3 +104,42 @@ def test_is_better():
     assert metrics.is_better({"mae": 0.5}, {"mae": 0.6}, "mae")
     assert not metrics.is_better({"mae": 0.7}, {"mae": 0.6}, "mae")
     assert metrics.is_better({"auroc": 0.9}, {"auroc": 0.8}, "auroc")
+
+
+def test_sample_per_example_adaptive_steps():
+    """Per-example loop (reference sample_per_example,
+    generation_utils.py:317-436): steps adapt to the example's mask count,
+    history traces each step, and the result fully unmasks."""
+    from graphgpt_tpu.config import GenerationConfig
+    from graphgpt_tpu.generation import dllm
+
+    V, T = 11, 32
+    mask_id = 1
+    rng = np.random.default_rng(0)
+    truth = rng.integers(2, V, size=(T,)).astype(np.int32)
+    x = truth.copy()
+    mask_pos = rng.random(T) < 0.3
+    x[mask_pos] = mask_id
+
+    def logits_fn(x_flat):
+        # oracle logits: always vote for the ground truth
+        return jax.nn.one_hot(jnp.asarray(truth)[None], V) * 10.0
+
+    cfg = GenerationConfig(steps=64, alg="maskgit_plus", temperature=0.0)
+    out, hist = dllm.sample_per_example(
+        logits_fn, cfg, mask_id, jnp.asarray(x), jax.random.PRNGKey(0),
+        output_history=True,
+    )
+    n_masked = int(mask_pos.sum())
+    assert len(hist) == n_masked  # steps = min(#masked, cfg.steps)
+    np.testing.assert_array_equal(np.asarray(out)[0], truth)
+    # history is monotone: masked count never increases
+    counts = [int(np.sum(np.asarray(h) == mask_id)) for h in hist]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    assert counts[-1] == 0
+
+    out2, hist2 = dllm.sample_per_example(
+        logits_fn, cfg, mask_id, jnp.asarray(x), jax.random.PRNGKey(0)
+    )
+    assert hist2 is None
+    np.testing.assert_array_equal(np.asarray(out2)[0], truth)

@@ -295,3 +295,91 @@ def test_pcqm_cepdb_zinc_ensembling(tmp_path):
     g_zinc = ds[50 + 1]
     assert abs(float(y_zinc[1, 2]) - float(np.asarray(g_zinc.y).reshape(-1)[0])) < 1e-6
     assert g_cep.extra["idx_of_ds"] == 1 and g_zinc.extra["idx_of_ds"] == 2
+
+
+def test_molhiv_golden_fixture_end_to_end(tmp_path):
+    """Reader-contract pin (r3 verdict item 8): a golden ogbg-molhiv
+    fixture generated from the documented npz schema (tools/convert_ogb.py
+    convert_graph_level layout; OGB atom/bond featurisation dims 9/3 with
+    the official cardinalities) flows reader -> vocab -> tokenizer ->
+    loader -> one finetune step -> eval, pinning the contract against
+    drift."""
+    import jax
+
+    from graphgpt_tpu.config import Config
+    from graphgpt_tpu.data.datasets import MOL_EDGE_CARD, MOL_NODE_CARD
+    from graphgpt_tpu.training.finetune import FinetunePipeline
+
+    rng = np.random.default_rng(42)
+    n_graphs = 32
+    node_ptr, edge_ptr = [0], [0]
+    xs, eis, eas, ys = [], [], [], []
+    for _ in range(n_graphs):
+        n = int(rng.integers(5, 14))
+        # ring + chords:连 a connected molecule-like graph, directed both ways
+        src = np.arange(n)
+        dst = np.roll(src, -1)
+        # contract: global (node_ptr-offset) node ids
+        ei = (
+            np.stack([np.concatenate([src, dst]), np.concatenate([dst, src])])
+            + node_ptr[-1]
+        )
+        xs.append(
+            np.stack([rng.integers(0, c, size=n) for c in MOL_NODE_CARD], axis=1)
+        )
+        eas.append(
+            np.stack(
+                [rng.integers(0, c, size=ei.shape[1]) for c in MOL_EDGE_CARD],
+                axis=1,
+            )
+        )
+        eis.append(ei)
+        ys.append([float(len(ys) % 2)])  # molhiv: binary HIV label (balanced)
+        node_ptr.append(node_ptr[-1] + n)
+        edge_ptr.append(edge_ptr[-1] + ei.shape[1])
+    # interleaved permutation keeps labels balanced inside every split
+    idx = np.concatenate([np.arange(0, n_graphs, 2), np.arange(1, n_graphs, 2)])
+    idx = idx.reshape(2, -1).T.reshape(-1)
+    d = tmp_path / "data" / "ogbg-molhiv"
+    d.mkdir(parents=True)
+    np.savez(
+        d / "graphs.npz",
+        node_ptr=np.asarray(node_ptr, np.int64),
+        edge_ptr=np.asarray(edge_ptr, np.int64),
+        node_attr=np.concatenate(xs).astype(np.int32),
+        edge_index=np.concatenate(eis, axis=1).astype(np.int32),
+        edge_attr=np.concatenate(eas).astype(np.int32),
+        y=np.asarray(ys, np.float32),
+        train_idx=idx[:16].astype(np.int64),
+        valid_idx=idx[16:24].astype(np.int64),
+        test_idx=idx[24:].astype(np.int64),
+    )
+
+    cfg = Config()
+    cfg.tokenization.dataset = "ogbg-molhiv"
+    cfg.tokenization.data_dir = str(tmp_path / "data")
+    cfg.tokenization.semantics.node.discrete = "node_attr"
+    cfg.tokenization.semantics.node.dim = 9
+    cfg.tokenization.semantics.edge.discrete = "edge_attr"
+    cfg.tokenization.semantics.edge.dim = 3
+    cfg.model.hidden_size = 64
+    cfg.model.num_hidden_layers = 2
+    cfg.model.head_dim = 16
+    cfg.model.dtype = "float32"
+    cfg.model.problem_type = "single_label_classification"
+    cfg.model.num_labels = 2
+    cfg.training.task_type = "graph"
+    cfg.training.batch_size = 8  # divisible over the 8-device test mesh
+    cfg.training.max_length = 128
+    cfg.training.num_workers = 0
+    cfg.training.schedule.epochs = 1
+    cfg.training.epoch_per_eval = 1
+    cfg.training.output_dir = str(tmp_path / "run")
+    pipe = FinetunePipeline(cfg)
+    pipe.setup()
+    assert len(pipe.train_idx) == 16 and len(pipe.valid_idx) == 8
+    best = pipe.run()
+    pipe.loader.close()
+    assert any(k.startswith("valid_") for k in best), best
+    vals = [v for k, v in best.items() if isinstance(v, float)]
+    assert all(np.isfinite(v) for v in vals), best

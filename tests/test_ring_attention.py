@@ -171,3 +171,36 @@ def test_pallas_chunk_matches_oracle():
     np.testing.assert_allclose(
         np.asarray(lse)[valid], np.asarray(ref_lse)[valid], rtol=2e-2, atol=2e-2
     )
+
+
+def test_causal_ring_forward_matches_full():
+    """Causal ring (NTP pretrain over the seq axis, r3 verdict item 6):
+    ring-level chunk ordering (own=local-causal, earlier=bidirectional,
+    later=skipped) equals the single-device causal oracle."""
+    q, k, v, seg = _inputs(p=1024, seed=3)
+    mesh = _seq_mesh(4)
+    with mesh:
+        out = jax.jit(
+            lambda *a: ring_attention_sharded(*a, mesh=mesh, causal=True)
+        )(q, k, v, seg)
+    ref = xla_attention(q, k, v, seg, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-5, atol=3e-5)
+
+
+def test_causal_ring_gradients_match_full():
+    q, k, v, seg = _inputs(p=512, seed=4)
+    mesh = _seq_mesh(4)
+
+    def ring_loss(q, k, v):
+        out = ring_attention_sharded(q, k, v, seg, mesh=mesh, causal=True)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    def full_loss(q, k, v):
+        out = xla_attention(q, k, v, seg, causal=True)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    with mesh:
+        g1 = jax.jit(jax.grad(ring_loss, argnums=(0, 1, 2)))(q, k, v)
+    g2 = jax.grad(full_loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-5, atol=5e-5)

@@ -21,11 +21,15 @@ def test_npz_shard_roundtrip(tmp_path):
     stream = ShardedNpzStream(str(tmp_path), shuffle_shards=False)
     graphs = list(stream.iter_epoch(0))
     assert len(graphs) == 50
-    # content preserved (first graph of first shard)
-    g0 = ds[0]
-    g1 = graphs[0]
-    assert g1.num_nodes == g0.num_nodes
-    np.testing.assert_array_equal(g1.node_attr, g0.node_attr)
+    # content preserved for EVERY graph — incl. edge indices of graphs past
+    # the first, which the pre-round-4 writer stored without the global
+    # node_ptr offset the reader subtracts (silent corruption)
+    for i in (0, 1, 17, 49):
+        g0, g1 = ds[i], graphs[i]
+        assert g1.num_nodes == g0.num_nodes
+        np.testing.assert_array_equal(g1.node_attr, g0.node_attr)
+        np.testing.assert_array_equal(g1.edge_index, g0.edge_index)
+        assert g1.edge_index.min() >= 0
 
 
 def test_stream_resume_skip(tmp_path):
@@ -126,3 +130,32 @@ def test_featurize_mol_collate_roundtrip(tmp_path):
     np.testing.assert_array_equal(g1.node_attr, graphs[1]["node_attr"])
     np.testing.assert_array_equal(g1.edge_index, graphs[1]["edge_index"])
     np.testing.assert_array_equal(g1.pos, graphs[1]["pos"])
+
+
+def test_ani1_hdf5_pairs(tmp_path):
+    """ANI-1 HDF5 ingestion (reference pyanitools layout: groups of entries
+    holding `smiles` as a char array + `energies` per conformation;
+    PygANI1Dataset takes the FIRST conformer energy,
+    dataset_utils.py:1003-1008). h5py is available in this image, so the
+    reader is exercised on a real file."""
+    import sys
+
+    h5py = __import__("h5py")
+    sys.path.insert(0, "tools")
+    from featurize_mol import _ani1_pairs
+
+    path = tmp_path / "ani_gdb_s01.h5"
+    with h5py.File(path, "w") as f:
+        g = f.create_group("gdb11_s01")
+        e1 = g.create_group("mol1")
+        e1.create_dataset("smiles", data=[c.encode() for c in "CCO"])
+        e1.create_dataset("energies", data=np.asarray([-1.5, -1.4, -1.3]))
+        e1.create_dataset(
+            "coordinates", data=np.zeros((3, 9, 3), np.float32)
+        )
+        e2 = g.create_group("mol2")
+        e2.create_dataset("smiles", data=[c.encode() for c in "C#N"])
+        e2.create_dataset("energies", data=np.asarray([-2.25]))
+
+    pairs = sorted(_ani1_pairs(str(tmp_path / "*.h5")))
+    assert pairs == [("C#N", -2.25), ("CCO", -1.5)]

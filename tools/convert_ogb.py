@@ -47,10 +47,11 @@ def convert_graph_level(name: str, out_dir: str):
     edge_ptr = [0]
     xs, eis, eas, ys, poss = [], [], [], [], []
     for g in ds:
+        # npz contract: edges carry GLOBAL (node_ptr-offset) node ids
+        eis.append(g.edge_index.numpy() + node_ptr[-1])
         node_ptr.append(node_ptr[-1] + g.num_nodes)
         edge_ptr.append(edge_ptr[-1] + g.edge_index.shape[1])
         xs.append(g.x.numpy())
-        eis.append(g.edge_index.numpy())
         eas.append(g.edge_attr.numpy())
         ys.append(np.asarray(g.y).reshape(-1))
         if hasattr(g, "pos") and g.pos is not None:
