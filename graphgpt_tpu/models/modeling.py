@@ -368,11 +368,17 @@ def backbone_apply(
         hpre = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
         gate = _act(cfg.hidden_act)(hpre @ lp["gate"].astype(dt))
         up = hpre @ lp["up"].astype(dt)
+        # GGT_MLP_BARRIER sweep knob (PERF.md): XLA fuses up-GEMM ->
+        # act*gate -> down-GEMM -> residual into ONE serial convolution
+        # (profiled 3.4x the down-GEMM roofline). 1 = barrier after the
+        # multiply; 2 = barrier between the GEMMs and the elementwise (the
+        # down conv keeps an elementwise-only prologue). Both measured
+        # SLOWER end-to-end on v5e — the knob remains for other chips.
+        barrier = os.environ.get("GGT_MLP_BARRIER", "0")
+        if barrier == "2":
+            gate, up = jax.lax.optimization_barrier((gate, up))
         gated = checkpoint_name(gate * up, "mlp_gated")
-        if os.environ.get("GGT_MLP_BARRIER", "0") == "1":
-            # split the up->down->residual mega-fusion XLA otherwise emits
-            # as one serial convolution (profiled at 1.7x the two matmuls'
-            # ideal time); sweep knob, see PERF.md
+        if barrier == "1":
             gated = jax.lax.optimization_barrier(gated)
         mlp_out = gated @ lp["down"].astype(dt)
         if use_mdrop:
