@@ -301,3 +301,34 @@ def test_flat_tokenizer_pipeline(tmp_path):
     with open(os.path.join(cfg.training.output_dir, "log.csv")) as f:
         rows = list(csv.DictReader(f))
     assert rows and np.isfinite(float(rows[-1]["loss"]))
+
+
+def test_pretrain_block_aligned_packing(tmp_path):
+    """pack_block end to end: the pipeline propagates attn_block to the
+    model (train step runs the factorised attention), the loader emits
+    block-aligned segment ids, and eval uses the un-factorised config
+    (eval batches may be unpacked)."""
+    from graphgpt_tpu.training.pipeline import PretrainPipeline
+
+    cfg = _base_cfg(tmp_path, task="pretrain-mlm")
+    cfg.training.pack_tokens = 1
+    cfg.training.pack_block = 64
+    cfg.training.schedule.total_num_steps = 4
+    cfg.training.schedule.logging_steps = 2
+    cfg.training.schedule.warmup_num_steps = 1
+    cfg.training.do_valid = True
+    cfg.training.valid_percent = 0.05
+    cfg.training.tot_samples = 200
+    pipe = PretrainPipeline(cfg).setup()
+    assert pipe.cfg.model.attn_block == 64
+    assert pipe._m_eval.attn_block == 0
+    # loader rows are block-aligned: no segment crosses a 64 boundary
+    batch = next(pipe.loader.epoch_batches(pipe.train_idx[:128], epoch=0))
+    for row in batch["segment_ids"]:
+        for sid in np.unique(row[row > 0]):
+            pos = np.flatnonzero(row == sid)
+            assert pos[-1] // 64 == pos[0] // 64
+    state = pipe.run()
+    pipe.loader.close()
+    assert np.isfinite(float(state.step))
+    assert os.path.exists(os.path.join(cfg.training.output_dir, "log.csv"))
