@@ -133,13 +133,27 @@ def compute_metrics(problem_type: str, scores, labels) -> Dict[str, float]:
 
 # larger-is-better flags per metric (reference compare_metrics_res,
 # metrics_utils.py:192-208)
-_HIGHER_BETTER = {"acc": True, "auroc": True, "mae": False, "mse": False, "hits": True, "mrr": True}
+_HIGHER_BETTER = {
+    "acc": True,
+    "auroc": True,
+    "ap": True,
+    "mae": False,
+    "mse": False,
+    "loss": False,
+    "hits": True,
+    "mrr": True,
+}
 
 
 def is_better(new: Dict[str, float], best: Dict[str, float], key: str) -> bool:
     if key not in best:
         return True
-    hb = _HIGHER_BETTER.get(key.split("@")[0], True)
+    # keys arrive prefixed (valid_mae, valid_ema_hits@100): resolve the
+    # metric FAMILY (last _-component before any @K) — the bare-key lookup
+    # silently treated valid_mae as higher-is-better and pinned "best" to
+    # the first epoch (caught by the round-4 convergence artifact)
+    fam = key.split("@")[0].split("_")[-1]
+    hb = _HIGHER_BETTER.get(fam, True)
     return (new[key] > best[key]) if hb else (new[key] < best[key])
 
 

@@ -143,3 +143,20 @@ def test_sample_per_example_adaptive_steps():
     )
     assert hist2 is None
     np.testing.assert_array_equal(np.asarray(out2)[0], truth)
+
+
+def test_is_better_prefixed_keys():
+    """Best-epoch tracking resolves the metric FAMILY from prefixed keys
+    (valid_mae is lower-better; valid_ema_hits@100 higher-better) — the
+    bare-key lookup regressed best-MAE tracking to the first epoch."""
+    from graphgpt_tpu.utils import metrics as m
+
+    assert m.is_better({"valid_mae": 0.1}, {"valid_mae": 0.2}, "valid_mae")
+    assert not m.is_better({"valid_mae": 0.3}, {"valid_mae": 0.2}, "valid_mae")
+    assert m.is_better(
+        {"valid_ema_hits@100": 0.8}, {"valid_ema_hits@100": 0.7}, "valid_ema_hits@100"
+    )
+    assert not m.is_better(
+        {"valid_ema_hits@100": 0.6}, {"valid_ema_hits@100": 0.7}, "valid_ema_hits@100"
+    )
+    assert m.is_better({"valid_loss": 1.0}, {}, "valid_loss")

@@ -83,7 +83,21 @@ def run(out: str, quick: bool = False, pt_steps: int = 2000, ft_epochs: int = 8)
     t.schedule.steps_per_saving = max(pt_steps // 4, 1) if not quick else 6
     t.schedule.logging_steps = max(pt_steps // 40, 1) if not quick else 2
     pipe = PretrainPipeline(cfg).setup()
+
+    def _valid_loss(n=256):
+        """Unweighted held-out loss: the convergence criterion (the logged
+        train loss is dLM-weighted — wgt ~ 1/t — and far too noisy to
+        threshold on)."""
+        losses = []
+        with pipe.mesh:
+            for batch in pipe._eval_batches(pipe.valid_idx[:n]):
+                bd = pipe._shard(dict(batch.data))
+                losses.append(float(pipe.eval_step(pipe.state, bd)["loss"]))
+        return float(np.mean(losses)) if losses else float("nan")
+
+    valid_loss_init = _valid_loss()
     pipe.run()
+    valid_loss_final = _valid_loss()
     # 256 samples keep the 10-band sweep to ~1 min (each band runs the
     # full iterative sampler; the full-loader sweep stays available via
     # PretrainPipeline.evaluate_generation directly)
@@ -171,9 +185,11 @@ def run(out: str, quick: bool = False, pt_steps: int = 2000, ft_epochs: int = 8)
 
     summary = {
         "pretrain_steps": int(t.schedule.total_num_steps),
+        "pretrain_valid_loss_init": round(valid_loss_init, 4),
+        "pretrain_valid_loss_final": round(valid_loss_final, 4),
         "pretrain_loss_first_decile": round(head_loss, 4),
         "pretrain_loss_last_decile": round(tail_loss, 4),
-        "pretrain_converged": tail_loss < 0.7 * head_loss,
+        "pretrain_converged": valid_loss_final < 0.7 * valid_loss_init,
         "generation_band_acc_mean": round(
             float(np.mean([v for k_, v in gen.items() if k_.startswith("gen_acc")]))
             if any(k_.startswith("gen_acc") for k_ in gen)
