@@ -607,7 +607,7 @@ def _dq_kernel_stream(
 
 
 def _bwd_kernel_fused(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, segq_ref, segk_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, out_ref, dlse_ref, segq_ref, segk_ref,
     dq_ref, dk_ref, dv_ref, dk_acc, dv_acc, *, causal, bq, bk, nq, h, dh,
     bi_split=0, p=0
 ):
@@ -615,7 +615,11 @@ def _bwd_kernel_fused(
     streamed in bq tiles. Computes dq, dk AND dv in one pass so the [BQ, BK]
     logits/softmax (and the tile mask) are built once per (q-tile, head)
     instead of once in a dq kernel and again in a dkv kernel — 5 MXU
-    matmuls per head per tile instead of 7, and half the exp() traffic."""
+    matmuls per head per tile instead of 7, and half the exp() traffic.
+
+    delta (= rowsum(do*out) - dlse) is computed IN-kernel per (q-tile,
+    head) from the out residual: the external bhp-layout einsum cost
+    ~14 ms/step in layout copies alone at the flagship shape."""
     qi = pl.program_id(1)
 
     @pl.when(qi == 0)
@@ -637,6 +641,11 @@ def _bwd_kernel_fused(
         ) + neg  # [BQ, BK]
         pij = jnp.exp(s - lse_ref[0, i][:, None])
         do = jnp.where(rowvalid, do_ref[0, :, sl], 0.0)
+        delta = jnp.sum(
+            do.astype(jnp.float32) * out_ref[0, :, sl].astype(jnp.float32),
+            axis=-1,
+            keepdims=True,
+        ) - dlse_ref[0, i][:, None]
         dv_acc[:, sl] += jax.lax.dot_general(
             pij.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -645,7 +654,7 @@ def _bwd_kernel_fused(
             do, v_ref[0, :, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [BQ, BK]
-        ds = pij * (dp - delta_ref[0, i][:, None])
+        ds = pij * (dp - delta)
         dq_ref[0, :, sl] = jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -754,6 +763,20 @@ def _flash_bwd(q, k, v, seg_q, seg_k, out, lse, do, causal, h, dh, dlse=None,
     b, p, hd = q.shape
     segq3 = seg_q.reshape(b, 1, p)
     segk3 = seg_k.reshape(b, 1, p)
+    if _MODE not in ("band", "skip") and p <= _MAX_SINGLE_BLOCK and bi_split == 0:
+        # fused single-block path (the flagship configs): delta is computed
+        # IN-kernel from the out residual — the external bhp einsum cost
+        # ~14 ms/step in bhp-layout copies at the flagship shape. dlse
+        # (ring lse cotangent) folds in as an extra row input; zeros when
+        # absent ([B, H, P] f32 = 3 MB, fused away by XLA).
+        dlse_in = (
+            dlse.astype(jnp.float32)
+            if dlse is not None
+            else jnp.zeros((b, h, p), jnp.float32)
+        )
+        return _flash_bwd_fused(
+            q, k, v, segq3, segk3, out, dlse_in, lse, do, causal, h, dh
+        )
     # fp32 accumulation WITHOUT materialising fp32 copies of do/out:
     # an explicit .astype(f32) here produced two 200MB fp32 tensors (plus
     # layout copies) per layer in the profile; preferred_element_type keeps
@@ -777,8 +800,6 @@ def _flash_bwd(q, k, v, seg_q, seg_k, out, lse, do, causal, h, dh, dlse=None,
         # stream pair with tiled kv/q so the segment-overlap skip engages
         bq = _pick_block(p, _BQ_BWD)
         bk = _pick_block(p, _BAND_BK)
-    elif p <= _MAX_SINGLE_BLOCK and bi_split == 0:
-        return _flash_bwd_fused(q, k, v, segq3, segk3, delta, lse, do, causal, h, dh)
     else:
         # dq: whole kv per tile when it fits
         bq = _pick_block(p)
@@ -851,7 +872,7 @@ def _flash_bwd(q, k, v, seg_q, seg_k, out, lse, do, causal, h, dh, dlse=None,
 _BQ_BWD = int(os.environ.get("GGT_FLASH_BQ_BWD", "0"))  # 0 -> _BQ_TARGET
 
 
-def _flash_bwd_fused(q, k, v, segq3, segk3, delta, lse, do, causal, h, dh):
+def _flash_bwd_fused(q, k, v, segq3, segk3, out, dlse, lse, do, causal, h, dh):
     """One pallas_call producing (dq, dk, dv) when the whole kv axis fits a
     single tile; see _bwd_kernel_fused."""
     b, p, hd = q.shape
@@ -868,7 +889,7 @@ def _flash_bwd_fused(q, k, v, segq3, segk3, delta, lse, do, causal, h, dh):
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid=(b, nq),
-        in_specs=[qspec, kspec, kspec, qspec, rowq, rowq, segq, segk],
+        in_specs=[qspec, kspec, kspec, qspec, rowq, qspec, rowq, segq, segk],
         out_specs=[qspec, kspec, kspec],
         out_shape=[
             jax.ShapeDtypeStruct((b, p, hd), q.dtype),
@@ -883,7 +904,7 @@ def _flash_bwd_fused(q, k, v, segq3, segk3, delta, lse, do, causal, h, dh):
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
-    )(q, k, v, do, lse, delta, segq3, segk3)
+    )(q, k, v, do, lse, out, dlse, segq3, segk3)
     return dq, dk, dv
 
 
