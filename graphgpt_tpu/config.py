@@ -234,6 +234,10 @@ class ModelConfig:
     remat: bool = False  # activation rematerialisation per layer
     remat_policy: str = "full"  # full|pairs|quads|dots|save_attn
     attn_impl: str = "auto"  # auto|pallas|xla
+    # fused Pallas MLP kernel (ops/mlp.py): auto resolves to "on" when the
+    # execution mesh is TPU (pipelines resolve it at setup; +5.5% step
+    # throughput on v5e — PERF.md round 4), "off" elsewhere
+    mlp_kernel: str = "auto"  # auto|on|off
     # block-aligned-packing window (0 = off): set alongside
     # training.pack_block — the loader guarantees no packed segment crosses
     # an attn_block boundary, so attention runs at P=attn_block

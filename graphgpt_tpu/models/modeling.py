@@ -408,6 +408,25 @@ def backbone_apply(
         x = x + attn_out
         # --- MLP block
         hpre = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
+        mlp_kernel = os.environ.get("GGT_MLP_KERNEL", "")
+        if not mlp_kernel:
+            # "auto" resolves at pipeline setup from the MESH devices (the
+            # default backend is the axon TPU even when running a virtual
+            # CPU mesh); unresolved auto stays off
+            mlp_kernel = "1" if cfg.mlp_kernel == "on" else "0"
+        if mlp_kernel == "1" and not use_mdrop:
+            # fused Pallas MLP (ops/mlp.py): three back-to-back GEMMs with
+            # resident weights instead of XLA's windowed mega-fusion
+            from ..ops.mlp import fused_mlp
+
+            mlp_out = fused_mlp(
+                hpre, lp["gate"], lp["up"], lp["down"], cfg.hidden_act
+            )
+            if use_ls:
+                mlp_out = mlp_out * lp["ls2"].astype(dt)
+            if use_dp:
+                mlp_out = drop_path_tokens(mlp_out, r_dp2)
+            return x + mlp_out
         gate = _act(cfg.hidden_act)(hpre @ lp["gate"].astype(dt))
         up = hpre @ lp["up"].astype(dt)
         # GGT_MLP_BARRIER sweep knob (PERF.md): XLA fuses up-GEMM ->

@@ -98,6 +98,10 @@ class FinetunePipeline:
         self.epochs = epochs
 
         self.mesh = mesh_lib.make_mesh(tcfg.mesh)
+        if m.mlp_kernel == "auto":
+            m.mlp_kernel = (
+                "on" if self.mesh.devices.flat[0].platform == "tpu" else "off"
+            )
         params = heads.init_task_params(m, jax.random.PRNGKey(tcfg.seed))
         if tcfg.pretrain_cpt:
             params = restore_params_warmstart(

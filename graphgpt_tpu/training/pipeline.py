@@ -180,6 +180,10 @@ class PretrainPipeline:
         )
         # mesh + sharded state
         self.mesh = mesh_lib.make_mesh(tcfg.mesh)
+        if m.mlp_kernel == "auto":
+            m.mlp_kernel = (
+                "on" if self.mesh.devices.flat[0].platform == "tpu" else "off"
+            )
         # model family selection (reference PretrainMode registry
         # {graphgpt: GraphGPTPretrainBase, graphgpt-pos: GraphGPTPosPred},
         # pretrain_mode.py:71-75): coord tasks train the 3D-position model

@@ -442,3 +442,43 @@ def test_rms_norm_custom_vjp_matches_autodiff():
                 np.asarray(a, np.float32), np.asarray(b, np.float32),
                 rtol=tol, atol=tol,
             )
+
+
+def test_fused_mlp_matches_xla():
+    """ops/mlp.fused_mlp (Pallas fwd + hand adjoint) == the plain XLA MLP:
+    forward allclose (erf via the A-S rational approx, |err|<=1.5e-7) and
+    gradients allclose for x and the f32 master weights."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from graphgpt_tpu.ops import mlp as M
+
+    rng = np.random.default_rng(0)
+    n, dm, dff = 64, 32, 128
+    for act in ("gelu", "gelu_new", "silu"):
+        x = jnp.asarray(rng.normal(size=(n, dm)) * 0.5, jnp.float32)
+        wg = jnp.asarray(rng.normal(size=(dm, dff)) * 0.2, jnp.float32)
+        wu = jnp.asarray(rng.normal(size=(dm, dff)) * 0.2, jnp.float32)
+        wd = jnp.asarray(rng.normal(size=(dff, dm)) * 0.2, jnp.float32)
+
+        with pltpu.force_tpu_interpret_mode():
+            y1 = M.fused_mlp(x, wg, wu, wd, act)
+        y2 = M.xla_mlp(x, wg, wu, wd, act)
+        np.testing.assert_allclose(
+            np.asarray(y1), np.asarray(y2), rtol=2e-5, atol=2e-5
+        )
+
+        def loss1(x, wg, wu, wd):
+            return jnp.sum(M.fused_mlp(x, wg, wu, wd, act) ** 2)
+
+        def loss2(x, wg, wu, wd):
+            return jnp.sum(M.xla_mlp(x, wg, wu, wd, act) ** 2)
+
+        with pltpu.force_tpu_interpret_mode():
+            g1 = jax.grad(loss1, argnums=(0, 1, 2, 3))(x, wg, wu, wd)
+        g2 = jax.grad(loss2, argnums=(0, 1, 2, 3))(x, wg, wu, wd)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4
+            )
