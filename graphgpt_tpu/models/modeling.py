@@ -98,12 +98,12 @@ def _rms_norm_ref(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarra
     return (normed * weight.astype(jnp.float32)).astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _rms_norm_vjp(x, weight, eps):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _rms_norm_vjp(x, weight, eps, pallas_bwd=False):
     return _rms_norm_ref(x, weight, eps)
 
 
-def _rms_norm_vjp_fwd(x, weight, eps):
+def _rms_norm_vjp_fwd(x, weight, eps, pallas_bwd=False):
     # residuals: the bf16 input + [..., 1] f32 rrms — autodiff instead
     # drags f32 [B*P, D] intermediates through the backward (profiled
     # ~2 ms/layer at the flagship shape; the fused rule is one pass)
@@ -114,8 +114,16 @@ def _rms_norm_vjp_fwd(x, weight, eps):
     return y, (x, weight, rrms)
 
 
-def _rms_norm_vjp_bwd(eps, res, g):
+def _rms_norm_vjp_bwd(eps, pallas_bwd, res, g):
     x, weight, rrms = res
+    if pallas_bwd and x.ndim == 2:
+        # fused one-pass kernel (dx + dw accumulated per token tile): the
+        # XLA lowering of the formula below still costs ~1.8 ms/layer at
+        # the flagship [65536, 768] (~4x the HBM-traffic floor)
+        from ..ops.mlp import rmsnorm_bwd_pallas
+
+        dx, dw = rmsnorm_bwd_pallas(x, g, weight, eps)
+        return dx, dw.astype(weight.dtype)
     x32 = x.astype(jnp.float32)
     g32 = g.astype(jnp.float32)
     n = x32 * rrms
@@ -129,14 +137,24 @@ def _rms_norm_vjp_bwd(eps, res, g):
 _rms_norm_vjp.defvjp(_rms_norm_vjp_fwd, _rms_norm_vjp_bwd)
 
 
-def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+def rms_norm(
+    x: jnp.ndarray, weight: jnp.ndarray, eps: float, pallas_bwd: bool = False
+) -> jnp.ndarray:
     """HF-Llama-semantics RMSNorm (f32 stats and elementwise, cast back;
     modeling_llama.LlamaRMSNorm): forward math is IDENTICAL between the
     custom-VJP path (default) and the plain autodiff reference
-    (GGT_RMSNORM_VJP=0)."""
+    (GGT_RMSNORM_VJP=0). pallas_bwd additionally runs the adjoint as a
+    fused Pallas kernel (TPU meshes; resolved alongside cfg.mlp_kernel)."""
     if os.environ.get("GGT_RMSNORM_VJP", "1") == "0":
         return _rms_norm_ref(x, weight, eps)
-    return _rms_norm_vjp(x, weight, eps)
+    return _rms_norm_vjp(x, weight, eps, pallas_bwd)
+
+
+# Pallas RMSNorm adjoint: measured SLOWER end-to-end on v5e (102.9k vs
+# 104.2k tokens/s — XLA fuses the plain adjoint with its neighbours better
+# than the standalone kernel's sequential grid); knob retained for other
+# chip generations.
+_RMS_PALLAS = os.environ.get("GGT_RMSNORM_PALLAS", "0") == "1"
 
 
 def _act(name: str):
@@ -323,7 +341,9 @@ def add_raw_embeds(
     if embed_is_masked is not None:
         mask_tok = params["emb_mask_token"].astype(dt)
         x = jnp.where(embed_is_masked[..., None], mask_tok[None, None, :], x)
-    x = rms_norm(x, params["embed_layernorm"], cfg.rms_norm_eps)
+    x = rms_norm(
+        x, params["embed_layernorm"], cfg.rms_norm_eps, _RMS_PALLAS and cfg.mlp_kernel == "on"
+    )
     x = _dropout(x, cfg.embed_dropout, rng, train)
     x = x @ params["embed_proj"].astype(dt)
     return inputs_embeds + x
@@ -389,7 +409,7 @@ def backbone_apply(
             return _drop_path(t.reshape(b, p, d), dp_rate, r, train).reshape(b * p, d)
 
         # --- attention block
-        hpre = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
+        hpre = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps, _RMS_PALLAS and cfg.mlp_kernel == "on")
         q = (hpre @ lp["q"].astype(dt)).reshape(b, p, h, dh)
         k = (hpre @ lp["k"].astype(dt)).reshape(b, p, hkv, dh)
         v = (hpre @ lp["v"].astype(dt)).reshape(b, p, hkv, dh)
@@ -407,7 +427,7 @@ def backbone_apply(
             attn_out = drop_path_tokens(attn_out, r_dp1)
         x = x + attn_out
         # --- MLP block
-        hpre = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
+        hpre = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps, _RMS_PALLAS and cfg.mlp_kernel == "on")
         mlp_kernel = os.environ.get("GGT_MLP_KERNEL", "")
         if not mlp_kernel:
             # "auto" resolves at pipeline setup from the MESH devices (the
@@ -503,7 +523,9 @@ def backbone_apply(
             x,
             (grouped, dp_rates.reshape(-1, group), layer_idx.reshape(-1, group)),
         )
-        return rms_norm(x, params["final_norm"], cfg.rms_norm_eps).reshape(b, p, d)
+        return rms_norm(
+            x, params["final_norm"], cfg.rms_norm_eps, _RMS_PALLAS and cfg.mlp_kernel == "on"
+        ).reshape(b, p, d)
     if cfg.remat:
         if cfg.remat_policy == "dots":
             # save matmul outputs, recompute elementwise: much cheaper
@@ -539,7 +561,9 @@ def backbone_apply(
     else:
         fn = layer_fn
     x, _ = jax.lax.scan(fn, x, (params["layers"], dp_rates, layer_idx))
-    return rms_norm(x, params["final_norm"], cfg.rms_norm_eps).reshape(b, p, d)
+    return rms_norm(
+        x, params["final_norm"], cfg.rms_norm_eps, _RMS_PALLAS and cfg.mlp_kernel == "on"
+    ).reshape(b, p, d)
 
 
 def model_hidden_states(

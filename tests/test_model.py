@@ -482,3 +482,35 @@ def test_fused_mlp_matches_xla():
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4
             )
+
+
+def test_rmsnorm_pallas_bwd_matches_plain():
+    """The fused Pallas RMSNorm adjoint == the plain-XLA adjoint."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from graphgpt_tpu.models import modeling as M
+
+    rng = np.random.default_rng(1)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        x = jnp.asarray(rng.normal(size=(96, 64)), dtype)
+        w = jnp.asarray(rng.normal(1.0, 0.1, size=(64,)), jnp.float32)
+
+        def loss(pallas_bwd):
+            def f(x, w):
+                return jnp.sum(
+                    M._rms_norm_vjp(x, w, 1e-6, pallas_bwd).astype(jnp.float32) ** 2
+                )
+
+            return f
+
+        g_plain = jax.grad(loss(False), argnums=(0, 1))(x, w)
+        with pltpu.force_tpu_interpret_mode():
+            g_pallas = jax.grad(loss(True), argnums=(0, 1))(x, w)
+        tol = 2e-5 if dtype == jnp.float32 else 2e-2
+        for a, b in zip(g_pallas, g_plain):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=tol, atol=tol,
+            )
