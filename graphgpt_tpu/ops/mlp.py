@@ -220,8 +220,6 @@ def rmsnorm_bwd_pallas(x, g, w, eps: float, bt: int = 1024):
 def xla_mlp(x, wg, wu, wd, act: str):
     """Plain-XLA reference (the modeling.py default path's math)."""
     dt = x.dtype
-    import jax.nn
-
     if act == "gelu":
         a = jax.nn.gelu((x @ wg.astype(dt)).astype(jnp.float32), approximate=False)
     elif act in ("gelu_new", "gelu_pytorch_tanh"):
