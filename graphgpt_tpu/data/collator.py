@@ -167,6 +167,7 @@ def pack_samples(
     used = 0
     it = iter(sample_iter)
     exhausted = False
+    truncated = 0  # samples longer than `block` (head-truncated, warned once)
 
     def _fill():
         nonlocal exhausted
@@ -197,6 +198,18 @@ def pack_samples(
             used += space
         else:
             n = min(s.seq_len, block)
+            if s.seq_len > block:
+                truncated += 1
+                if truncated == 1:
+                    import warnings
+
+                    warnings.warn(
+                        f"pack_samples(block={block}): sample of "
+                        f"{s.seq_len} tokens head-truncated to one block — "
+                        f"raise pack_block above the longest sample to "
+                        f"avoid truncation",
+                        stacklevel=2,
+                    )
             pieces.append(s)
             used += n
         if used >= mpe:
