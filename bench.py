@@ -88,12 +88,12 @@ def main():
     ap.add_argument(
         "--block",
         type=int,
-        default=0,
+        default=-1,
         help="block-aligned packing window (training.pack_block / "
         "model.attn_block); 0 = plain packing with full-P attention. "
-        "Measured on v5e at mpe1024: a wash (attention is ~16%% of the "
-        "step; the ~2.5%% packing waste cancels the kernel gain) — use "
-        "for longer sequences where attention dominates",
+        "Default -1 resolves by the measured v5e policy: off at mpe 1024 "
+        "(a wash: the ~2.5%% packing waste cancels the kernel gain), 256 "
+        "at mpe >= 2048 (attention dominates; keeps tokens/s flat in P)",
     )
     args = ap.parse_args()
 
@@ -118,6 +118,8 @@ def main():
     from graphgpt_tpu.training.steps import init_train_state, make_train_step
 
     on_tpu = jax.default_backend() == "tpu"
+    if args.block < 0:
+        args.block = 256 if args.seq >= 2048 else 0
     block = args.block if args.block and args.seq > args.block else 0
     if args.quick or not on_tpu:
         seq = min(args.seq, 256)
