@@ -33,6 +33,27 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+class StructuralTarget:
+    """Regression target derived from graph STRUCTURE (node count + mean of
+    attribute column 1) instead of the synthetic dataset's noise label —
+    converging well below the target's std (~0.85) proves the model reads
+    the tokenized graph. Module-level so loader worker pools can pickle it."""
+
+    def __init__(self, base):
+        self.base = base
+
+    def __len__(self):
+        return len(self.base)
+
+    def __getitem__(self, i):
+        g = self.base[int(i)]
+        g.y = np.asarray(
+            [g.num_nodes / 10.0 + float(np.mean(g.node_attr[:, 1])) / 2.0],
+            np.float32,
+        )
+        return g
+
+
 def _cfg(out_dir: str, quick: bool):
     from graphgpt_tpu.config import Config
 
@@ -130,28 +151,8 @@ def run(out: str, quick: bool = False, pt_steps: int = 2000, ft_epochs: int = 8)
     ft.schedule.logging_steps = 50 if not quick else 2
     fpipe = FinetunePipeline(fcfg)
     fpipe.setup()
-    # regression target derived from the graph STRUCTURE (node count +
-    # mean of attribute column 1), not the synthetic dataset's noise label:
-    # converging well below the target's std (~0.85) proves the model reads
-    # the tokenized graph, not just the label mean
     base_ds = fpipe.dataset
-
-    class _StructuralTarget:
-        def __init__(self, base):
-            self.base = base
-
-        def __len__(self):
-            return len(self.base)
-
-        def __getitem__(self, i):
-            g = self.base[int(i)]
-            g.y = np.asarray(
-                [g.num_nodes / 10.0 + float(np.mean(g.node_attr[:, 1])) / 2.0],
-                np.float32,
-            )
-            return g
-
-    fpipe.dataset = _StructuralTarget(base_ds)
+    fpipe.dataset = StructuralTarget(base_ds)
     fpipe.loader.dataset = fpipe.dataset
     if quick:
         base_ds.size = 128
