@@ -136,8 +136,42 @@ class TokenizationConfig:
 # ---------------------------------------------------------------------------
 # Model config group
 # ---------------------------------------------------------------------------
+# the reference's published architecture matrix (tiny 128x2 ... xxlarge
+# 1600x48; examples/graph_lvl/pcqm4m_v2_pretrain.sh:158-233). Irregular
+# entries carry their explicit intermediate/head settings (small12 is the
+# 1x-MLP 32-per-head variant).
+_MODEL_SIZES = {
+    "tiny": dict(hidden_size=128, num_hidden_layers=2),
+    "tiny6": dict(
+        hidden_size=128, num_hidden_layers=6, intermediate_size=512,
+        num_attention_heads=4, head_dim=32,
+    ),
+    "mini": dict(hidden_size=256, num_hidden_layers=4),
+    "small": dict(hidden_size=512, num_hidden_layers=4),
+    "small12": dict(
+        hidden_size=384, num_hidden_layers=12, intermediate_size=384,
+        num_attention_heads=12, head_dim=32,
+    ),
+    "medium": dict(hidden_size=512, num_hidden_layers=8),
+    "base": dict(hidden_size=768, num_hidden_layers=12),
+    "base24": dict(hidden_size=768, num_hidden_layers=24),
+    "base48": dict(hidden_size=768, num_hidden_layers=48),
+    "large": dict(hidden_size=1024, num_hidden_layers=24),
+    "large48": dict(hidden_size=1024, num_hidden_layers=48),
+    "xlarge": dict(hidden_size=1280, num_hidden_layers=36),
+    "xlarge48": dict(hidden_size=1280, num_hidden_layers=48),
+    "xxlarge": dict(hidden_size=1600, num_hidden_layers=48),
+}
+
+
 @dataclass
 class ModelConfig:
+    # named architecture shorthand (the reference launch scripts' size
+    # table, examples/graph_lvl/pcqm4m_v2_pretrain.sh:158-233): when set,
+    # finalize() expands it into hidden_size/num_hidden_layers (+
+    # intermediate_size/heads for the irregular entries). Explicit dims in
+    # the config/CLI win only when `size` is empty.
+    size: str = ""  # tiny|tiny6|mini|small|small12|medium|base|base24|base48|large|large48|xlarge|xlarge48|xxlarge
     vocab_size: int = 0  # filled from tokenizer
     hidden_size: int = 128
     intermediate_size: int = 0  # 0 => 4*hidden
@@ -246,6 +280,18 @@ class ModelConfig:
 
     def finalize(self) -> "ModelConfig":
         """Resolve derived architecture fields (modules_utils.py:36-42)."""
+        if self.size:
+            spec = _MODEL_SIZES[self.size]
+            self.hidden_size = spec["hidden_size"]
+            self.num_hidden_layers = spec["num_hidden_layers"]
+            self.intermediate_size = spec.get(
+                "intermediate_size", self.intermediate_size
+            )
+            self.num_attention_heads = spec.get(
+                "num_attention_heads", self.num_attention_heads
+            )
+            if "head_dim" in spec:
+                self.head_dim = spec["head_dim"]
         if self.intermediate_size == 0:
             self.intermediate_size = self.hidden_size * 4
         if self.head_dim == 0:

@@ -64,3 +64,30 @@ def test_finetune_presets_reference_pretrain_output_dirs():
         if cfg.training.task_type in ("graph", "edge", "node", "nodev2"):
             if cfg.training.pretrain_cpt:
                 assert cfg.training.pretrain_cpt.startswith("./exp/")
+
+
+def test_model_size_shorthand():
+    """model.size expands the reference launch matrix
+    (pcqm4m_v2_pretrain.sh:158-233) through finalize(), including the
+    irregular tiny6/small12 entries."""
+    from graphgpt_tpu.config import ModelConfig
+
+    m = ModelConfig(size="base").finalize()
+    assert (m.hidden_size, m.num_hidden_layers) == (768, 12)
+    assert m.intermediate_size == 768 * 4 and m.num_attention_heads == 12
+
+    m = ModelConfig(size="small12").finalize()
+    assert (m.hidden_size, m.num_hidden_layers) == (384, 12)
+    assert m.intermediate_size == 384  # 1x hidden
+    assert m.num_attention_heads == 12 and m.head_dim == 32
+
+    m = ModelConfig(size="xxlarge").finalize()
+    assert (m.hidden_size, m.num_hidden_layers) == (1600, 48)
+
+    # dotted CLI override path
+    from graphgpt_tpu.config import Config, apply_overrides
+
+    cfg = Config()
+    apply_overrides(cfg, ["model.size=large"])
+    cfg.sync()
+    assert cfg.model.hidden_size == 1024 and cfg.model.num_hidden_layers == 24
