@@ -86,6 +86,12 @@ def main():
         "synthetic device-only loop",
     )
     ap.add_argument(
+        "--causal",
+        action="store_true",
+        help="NTP (causal) pretrain instead of the SMTP (bidirectional) "
+        "flagship objective",
+    )
+    ap.add_argument(
         "--block",
         type=int,
         default=-1,
@@ -133,6 +139,9 @@ def main():
         n_steps = args.steps or 10
         seq = args.seq
 
+    if args.causal:
+        cfg.task_type = "pretrain"
+        cfg.causal_attention = True
     params = heads.init_pretrain_params(cfg, jax.random.PRNGKey(0))
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
     ocfg = OptimizerConfig(lr=3e-4)
