@@ -583,12 +583,47 @@ class PretrainPipeline:
                     _, mask = dllm.mask_at_ratio(ids, tok.mask_id, (lo, hi), rng_np)
                     mask = mask & pad_mask[..., None]
                     masked = np.where(mask, tok.mask_id, ids)
-                    out = sampler(
-                        jnp.asarray(masked.reshape(b, p * f)),
-                        jax.random.PRNGKey(band * 100003 + start),
-                        base["position_ids"],
-                        base["segment_ids"],
-                    )
+                    if gen_cfg.batched:
+                        out = sampler(
+                            jnp.asarray(masked.reshape(b, p * f)),
+                            jax.random.PRNGKey(band * 100003 + start),
+                            base["position_ids"],
+                            base["segment_ids"],
+                        )
+                    else:
+                        # per-example loop (reference eval_gen_per_sample /
+                        # sample_per_example: steps adapt to each example's
+                        # mask count); the batched path subsumes it for
+                        # throughput — this exists for behaviour parity
+                        rows = []
+                        for r in range(b):
+
+                            def logits_fn_1(x_flat, _r=r):
+                                bb = {
+                                    "input_ids": x_flat.reshape(1, p, f),
+                                    "position_ids": base["position_ids"][
+                                        _r : _r + 1
+                                    ],
+                                    "segment_ids": base["segment_ids"][
+                                        _r : _r + 1
+                                    ],
+                                }
+                                logits = heads_mod.pretrain_logits(
+                                    self.state.params, self._m_eval, bb
+                                )
+                                return logits.reshape(1, p * f, -1)
+
+                            row, _ = dllm.sample_per_example(
+                                logits_fn_1,
+                                gen_cfg,
+                                tok.mask_id,
+                                jnp.asarray(masked[r].reshape(p * f)),
+                                jax.random.PRNGKey(
+                                    band * 100003 + start + 7 * r
+                                ),
+                            )
+                            rows.append(np.asarray(row)[0])
+                        out = np.stack(rows)
                     hit = (np.asarray(out).reshape(b, p, f) == ids) & mask
                     correct[band] += int(hit.sum())
                     masked_n[band] += int(mask.sum())

