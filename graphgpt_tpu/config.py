@@ -243,6 +243,9 @@ class ModelConfig:
     smtp_3d: bool = False
     smtp_wgt: float = 1.0
     smtp_vocab: int = 256
+    # label every valid position (denoise-style) instead of only the
+    # schedule-masked ones (reference smtp_denoise, modeling_finetune.py:509)
+    smtp_denoise: bool = False
 
     # finetune head
     task_type: str = "pretrain-mlm"
@@ -264,7 +267,6 @@ class ModelConfig:
 
     # numerics
     dtype: str = "bfloat16"  # activation/compute dtype
-    param_dtype: str = "float32"
     remat: bool = False  # activation rematerialisation per layer
     remat_policy: str = "full"  # full|pairs|quads|dots|save_attn
     attn_impl: str = "auto"  # auto|pallas|xla
@@ -376,7 +378,9 @@ class TrainingConfig:
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
     batch_size: int = 128  # global batch size
-    batch_size_eval: int = 128
+    # global eval batch size (reference batch_size_eval, loader_utils.py:
+    # 451-472); 0 = use batch_size
+    batch_size_eval: int = 0
     max_length: int = 1024
     pad_to_multiple_of: int = 8
     pack_tokens: float = 0.0  # >0 enables sequence packing to mpe
@@ -390,7 +394,10 @@ class TrainingConfig:
     num_workers: int = 8
     valid_percent: float = 0.0
     do_valid: bool = False
-    do_test: bool = False
+    # evaluate the test split each eval epoch (reference do_test gates the
+    # FT test loader, loader_utils.py:371; default ON here — evaluation by
+    # default, set false to skip)
+    do_test: bool = True
     seed: int = 42
     tot_samples: int = 10000  # samples for tokens-per-sample estimation
     freeze: int = -1

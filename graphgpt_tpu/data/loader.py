@@ -122,6 +122,7 @@ class GraphTokenLoader:
         pack: Optional[bool] = None,
         fixed_length: Optional[int] = None,
         drop_last: Optional[bool] = None,
+        batch_size: Optional[int] = None,
     ) -> Iterator[Batch]:
         """Batches for one pass over `indices`.
 
@@ -133,6 +134,7 @@ class GraphTokenLoader:
         """
         use_pack = self.pack if pack is None else pack
         use_drop_last = self.drop_last if drop_last is None else drop_last
+        bs = batch_size or self.batch_size
         stream = self._sample_stream(indices, epoch)
         if use_pack:
             stream = pack_samples(stream, self.mpe, block=self.pack_block)
@@ -147,7 +149,7 @@ class GraphTokenLoader:
         buf: List[TokenizedSample] = []
         for s in stream:
             buf.append(s)
-            if len(buf) == self.batch_size:
+            if len(buf) == bs:
                 yield collate(buf, mpe=self.mpe, bucket=self.bucket, fixed_length=flen)
                 buf = []
         if buf and not use_drop_last:

@@ -114,7 +114,7 @@ def denoise_forward(
     b, p, f = input_ids.shape
     dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-    r_mode, r_noise, r_body = jax.random.split(rng, 3)
+    r_mode, r_noise, r_body, r_sched, r_node = jax.random.split(rng, 5)
 
     # per-sample 2D/3D mode sampling: a mask_3d_ratio fraction trains 2D-only
     ratio_sum = cfg.r_2d + cfg.r_3d + cfg.r_both
@@ -134,6 +134,32 @@ def denoise_forward(
     noise = jnp.where(noise_mask, 0.0, gnoise)
     noisy_pos = raw_pos + (noise if train else 0.0)
 
+    # node-level schedule masking (_mask_pos_in_node_lvl_on_schedule,
+    # modeling_helpers.py:481-495): with smtp_3d this creates the 3D-SMTP
+    # aux targets; with denoise_schedule_pow != 0 it curricula the denoise
+    # task (reference asserts the two are exclusive,
+    # modeling_finetune.py:770-771). Masked positions lose their noise,
+    # their coordinates, and (below) their pos tokens.
+    sched_pow = None
+    if cfg.smtp_3d:
+        sched_pow = cfg.smtp_3d_power
+    elif cfg.denoise_schedule_pow != 0:
+        sched_pow = cfg.denoise_schedule_pow
+    mask1 = None  # [B, P, 1]
+    if sched_pow is not None:
+        u = jax.random.uniform(r_sched, (b, 1, 1))
+        if sched_pow == -1:
+            mr = jnp.cos(u * jnp.pi / 2)
+        elif sched_pow == -2:
+            mr = 1.0 - (2.0 / jnp.pi) * jnp.arccos(u)
+        else:
+            mr = u**sched_pow
+        m_node = jax.random.uniform(r_node, (b, p, 1)) > mr
+        mask1 = m_node[bz_idx, node_idx] & pad_mask[..., None]
+        noise = jnp.where(mask1, 0.0, noise)
+        noisy_pos = jnp.where(mask1, 0.0, noisy_pos)
+        noise_mask = noise_mask | mask1
+
     delta_pos = noisy_pos[:, :, None, :] - noisy_pos[:, None, :, :]  # [B,P,P,3]
     dist = jnp.linalg.norm(delta_pos, axis=-1, keepdims=True)
     delta_pos = delta_pos / (dist + 1.0)
@@ -152,6 +178,8 @@ def denoise_forward(
     shift = jnp.asarray([0, nb, 2 * nb]) if cfg.pos_agg_method == "sum" else jnp.zeros(3, jnp.int32)
     tok = bins + shift[None, None, :] + 2
     tok = jnp.where(sample_mask[..., None], 1, tok)
+    if mask1 is not None:  # schedule-masked positions see the [mask] token
+        tok = jnp.where(mask1, 1, tok)
     tok = jnp.where(~pad_mask[..., None], 0, tok)
     pos_emb = params["embed_pos_token"].astype(dt)[tok].sum(axis=-2)
     embeds = embeds + pos_emb
@@ -205,5 +233,33 @@ def denoise_forward(
     dn_loss = denoise_cosine_loss(force, noise, noise_mask) * cfg.denoise_wgt
     out["pretrain_loss"] = dn_loss
     total = total + dn_loss
+
+    # head 3: 3D-SMTP auxiliary CE on the schedule-masked positions
+    # (modeling_finetune.py:860-881: line tokens of the CLEAN coordinates,
+    # per-feat gather through smtp_proj, scaled by smtp_wgt)
+    if cfg.smtp_3d and mask1 is not None:
+        lab = (
+            jnp.clip(
+                ((raw_pos - range_min) * ((cfg.smtp_vocab - 1) / span)).astype(
+                    jnp.int32
+                ),
+                0,
+                cfg.smtp_vocab - 1,
+            )
+            + 2
+        )  # [B, P, 3]
+        if cfg.smtp_denoise:
+            valid = pad_mask[..., None] & ~sample_mask[..., None]
+        else:
+            valid = mask1 & ~sample_mask[..., None]
+        smtp_labels = jnp.where(valid, lab, -100)
+        smtp_loss = (
+            losses.chunked_stacked_ce(
+                hidden, smtp_labels, params["smtp_proj"], params["smtp_head"]
+            )
+            * cfg.smtp_wgt
+        )
+        out["smtp_loss"] = smtp_loss
+        total = total + smtp_loss
     out["loss"] = total
     return out

@@ -236,12 +236,25 @@ def pos_pred_forward(
         params, cfg, embeds, batch["position_ids"], batch["segment_ids"], r_body, train
     )
 
+    # loss aggregation (reference loss_agg, modeling_pretrain.py:606,634):
+    # "token-lvl" (default) = global token mean; "sample-lvl" weights each
+    # valid token by 1/its-sample's-valid-count so every sample counts
+    # equally (the reference's normalized per-feat wgt,
+    # modeling_helpers.py:_prepare_for_stacked_feat_labels_per_feat_lvl)
+    def _agg_wgt(lab):
+        if cfg.loss_agg == "token-lvl":
+            return None
+        valid = (lab != -100).astype(jnp.float32)
+        cnt = valid.sum(axis=(1, 2), keepdims=True)
+        return valid / (cnt + 1e-9)
+
     # 2D auxiliary CE
     aux_loss = losses.chunked_stacked_ce(
         hidden,
         labels_2d,
         params.get("n_token_proj") if cfg.next_n_token > 1 else None,
         params["lm_head"],
+        token_wgt=_agg_wgt(labels_2d),
         focal_gamma=cfg.focal_gamma,
     )
     # 3D CE
@@ -251,17 +264,22 @@ def pos_pred_forward(
             labels_3d,
             params["pos_bins_proj"],
             params["pos_bins_head"],
+            token_wgt=_agg_wgt(labels_3d),
         )
     elif cfg.pos_problem_type == "pos-smtp-cube":
         head = params["embed_pos_token"].T  # weight-tied (modeling_pretrain.py:406)
-        loss_3d = losses.chunked_stacked_ce(hidden, labels_3d, None, head)
+        loss_3d = losses.chunked_stacked_ce(
+            hidden, labels_3d, None, head, token_wgt=_agg_wgt(labels_3d)
+        )
     else:  # mix: line loss is head1, cube loss joins the aux head
         loss_3d = losses.chunked_stacked_ce(
-            hidden, labels_3d, params["line_token_proj"], params["line_token_head"]
+            hidden, labels_3d, params["line_token_proj"], params["line_token_head"],
+            token_wgt=_agg_wgt(labels_3d),
         )
         cube_hidden = hidden @ params["cube_token_proj"].astype(hidden.dtype)
         cube_loss = losses.chunked_stacked_ce(
-            cube_hidden, labels_cube, None, params["embed_cube_token"].T
+            cube_hidden, labels_cube, None, params["embed_cube_token"].T,
+            token_wgt=_agg_wgt(labels_cube),
         )
         aux_loss = aux_loss + cube_loss
     loss = loss_3d + aux_loss

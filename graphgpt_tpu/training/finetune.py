@@ -89,12 +89,15 @@ class FinetunePipeline:
         steps_per_epoch = max(len(self.train_idx) // tcfg.batch_size, 1)
         epochs = tcfg.schedule.epochs or 10
         self.total_steps = steps_per_epoch * epochs
-        self.warmup_steps = max(
-            int(self.total_steps * 0.05)
-            if not tcfg.schedule.warmup_num_steps
-            else tcfg.schedule.warmup_num_steps,
-            1,
-        )
+        if tcfg.schedule.warmup_num_steps:
+            warmup = tcfg.schedule.warmup_num_steps
+        elif tcfg.schedule.warmup_epochs > 0:
+            # reference update_ft_num_steps: warmup_epochs * steps_per_epoch
+            # (base_configs.py:166-176)
+            warmup = int(tcfg.schedule.warmup_epochs * steps_per_epoch)
+        else:
+            warmup = int(self.total_steps * 0.05)
+        self.warmup_steps = max(warmup, 1)
         self.epochs = epochs
 
         self.mesh = mesh_lib.make_mesh(tcfg.mesh)
@@ -146,6 +149,7 @@ class FinetunePipeline:
             pack=False,  # task rows must stay one-graph-per-row
             num_workers=tcfg.num_workers,
             seed=tcfg.seed,
+            bucket=tcfg.pad_to_multiple_of,
             # >1 process: per-host bucket padding would give hosts different
             # batch shapes; pin every batch to max_length
             fixed_length=tcfg.max_length if jax.process_count() > 1 else None,
@@ -190,22 +194,29 @@ class FinetunePipeline:
         set exactly — multi-host metrics equal the 1-process run's."""
         idx = np.asarray(indices)
         pc, pi = jax.process_count(), jax.process_index()
+        tcfg = self.cfg.training
+        # per-host eval batch (reference batch_size_eval, loader_utils.py:
+        # 451-472); falls back to the train batch
+        bs = max((tcfg.batch_size_eval or tcfg.batch_size) // pc, 1)
         if pc == 1:
-            for b in self.loader.epoch_batches(idx, epoch=0, drop_last=False):
+            for b in self.loader.epoch_batches(
+                idx, epoch=0, drop_last=False, batch_size=bs
+            ):
                 yield b, False
             return
-        bs = self.loader.batch_size
         k = len(idx) // (bs * pc)
         flen = self.cfg.training.max_length
         if k:
             for b in self.loader.epoch_batches(
-                idx[: k * bs * pc][pi::pc], epoch=0, fixed_length=flen
+                idx[: k * bs * pc][pi::pc], epoch=0, fixed_length=flen,
+                batch_size=bs,
             ):
                 yield b, True
         tail = idx[k * bs * pc :]
         if len(tail):
             for b in self.loader.epoch_batches(
-                tail, epoch=0, fixed_length=flen, drop_last=False
+                tail, epoch=0, fixed_length=flen, drop_last=False,
+                batch_size=bs,
             ):
                 yield b, False
 
@@ -391,8 +402,9 @@ class FinetunePipeline:
                 self.ckpt_ema_best.save(
                     epoch, self.state, {"epoch": epoch, "ema_best": dict(self.ema_best)}
                 )
-        # 3. test data, with EMA when available
-        if len(self.test_idx) > 0:
+        # 3. test data, with EMA when available (gated by do_test, the
+        # reference's test-loader switch, loader_utils.py:371)
+        if tcfg.do_test and len(self.test_idx) > 0:
             te = self.evaluate(self.test_idx, use_ema=use_ema, ogb_name=ogb_name)
             res.update({f"test_{k}": v for k, v in te.items()})
         res.update(epoch=epoch, step=global_step)

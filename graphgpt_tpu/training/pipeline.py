@@ -270,6 +270,7 @@ class PretrainPipeline:
             seed=tcfg.seed,
             post_pack_fn=post_pack_fn,
             pack_block=tcfg.pack_block,
+            bucket=tcfg.pad_to_multiple_of,
         )
         # checkpointing + auto-resume
         self.ckpt = Checkpointer(os.path.join(tcfg.output_dir, "ckpt"))
@@ -431,10 +432,11 @@ class PretrainPipeline:
         across hosts with a FIXED per-host batch count and fixed shapes so
         every process issues identical collective eval steps."""
         pc, pi = jax.process_count(), jax.process_index()
+        tcfg = self.cfg.training
+        bs = max((tcfg.batch_size_eval or tcfg.batch_size) // pc, 1)
         if pc == 1:
-            yield from self.loader.epoch_batches(vidx, epoch=0)
+            yield from self.loader.epoch_batches(vidx, epoch=0, batch_size=bs)
             return
-        bs = self.loader.batch_size
         k = len(vidx) // (bs * pc)
         if k == 0:
             # too few samples to shard: all hosts evaluate the same batch
@@ -442,7 +444,8 @@ class PretrainPipeline:
         else:
             local = vidx[: k * bs * pc][pi::pc]
         yield from self.loader.epoch_batches(
-            local, epoch=0, pack=False, fixed_length=self.cfg.training.max_length
+            local, epoch=0, pack=False,
+            fixed_length=self.cfg.training.max_length, batch_size=bs,
         )
 
     def _save_and_eval(self, step: int, epoch: int):
@@ -537,11 +540,18 @@ class PretrainPipeline:
         )
         rng_np = np.random.default_rng(0)
         idx = self.valid_idx if len(self.valid_idx) else self.train_idx
-        if n_samples:
+        if n_samples is None:
+            # reference caps the generation sampler at num_gen_samples
+            # (loader_utils.py:714); <= 0 sweeps the full subset
+            n_samples = self.cfg.training.pretrain_mlm.num_gen_samples
+        if n_samples and n_samples > 0:
             idx = idx[:n_samples]
         # multi-host: shard samples across processes (whole batches each)
         pc, pi = jax.process_count(), jax.process_index()
-        bs = batch_size or min(self.cfg.training.batch_size, max(len(idx), 1))
+        bs = batch_size or min(
+            self.cfg.training.batch_size_eval or self.cfg.training.batch_size,
+            max(len(idx), 1),
+        )
         if pc > 1:
             k = max(len(idx) // (bs * pc), 1)
             idx = idx[: k * bs * pc][pi::pc]

@@ -129,3 +129,45 @@ def test_mixed_bi_causal_additive_mask():
     assert not ok[5, 4] and not ok[6, 4] and not ok[7, 4]
     # but visible to itself/before
     assert ok[4, 4]
+
+
+def test_denoise_smtp3d_aux_and_schedule():
+    """smtp_3d: node-level schedule masking zeroes the masked noise/pos,
+    their pos tokens become [mask], and the aux CE over the clean-line
+    labels joins the loss scaled by smtp_wgt
+    (modeling_finetune.py:742-881)."""
+    cfg = _cfg()
+    cfg.smtp_3d = True
+    cfg.smtp_vocab = 32
+    cfg.smtp_wgt = 0.5
+    cfg.smtp_3d_power = 1.0
+    cfg.finalize()
+    params = denoise.init_denoise_params(cfg, jax.random.PRNGKey(0))
+    assert "smtp_proj" in params and "smtp_head" in params
+    batch = _batch(cfg)
+    out = denoise.denoise_forward(params, cfg, batch, jax.random.PRNGKey(1))
+    assert "smtp_loss" in out
+    assert np.isfinite(float(out["smtp_loss"]))
+    total = float(out["task_loss"]) + float(out["pretrain_loss"]) + float(out["smtp_loss"])
+    np.testing.assert_allclose(float(out["loss"]), total, rtol=1e-5)
+
+    # halving smtp_wgt halves the aux term
+    cfg2 = _cfg()
+    cfg2.smtp_3d = True
+    cfg2.smtp_vocab = 32
+    cfg2.smtp_wgt = 0.25
+    cfg2.smtp_3d_power = 1.0
+    cfg2.finalize()
+    out2 = denoise.denoise_forward(params, cfg2, batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(
+        float(out2["smtp_loss"]), float(out["smtp_loss"]) / 2, rtol=1e-5
+    )
+
+    # denoise_schedule_pow: schedule masking without the aux head
+    cfg3 = _cfg()
+    cfg3.denoise_schedule_pow = 1.0
+    cfg3.finalize()
+    params3 = denoise.init_denoise_params(cfg3, jax.random.PRNGKey(0))
+    out3 = denoise.denoise_forward(params3, cfg3, batch, jax.random.PRNGKey(1))
+    assert "smtp_loss" not in out3
+    assert np.isfinite(float(out3["loss"]))

@@ -279,3 +279,19 @@ def test_pos_pred_forward_with_boundaries():
     assert np.isfinite(float(out_bounds["loss"]))
     # different binning must change the 3D token stream (and hence loss)
     assert float(out_bounds["loss"]) != float(out_uniform["loss"])
+
+
+def test_loss_agg_sample_lvl_differs():
+    """loss_agg=sample-lvl weights each sample equally (reference
+    modeling_pretrain.py:606,634 — the normalized per-feat wgt); the value
+    must differ from token-lvl on unbalanced batches and stay finite."""
+    import dataclasses
+
+    cfg = _cfg()
+    params = pos_pretrain.init_pos_pred_params(cfg, jax.random.PRNGKey(0))
+    batch = _batch(cfg)
+    out_tok = pos_pretrain.pos_pred_forward(params, cfg, batch, jax.random.PRNGKey(1))
+    cfg2 = dataclasses.replace(cfg, loss_agg="sample-lvl")
+    out_smp = pos_pretrain.pos_pred_forward(params, cfg2, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(out_smp["loss"]))
+    assert float(out_smp["loss"]) != float(out_tok["loss"])
