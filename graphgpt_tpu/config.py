@@ -398,6 +398,10 @@ class TrainingConfig:
     # FT test loader, loader_utils.py:371; default ON here — evaluation by
     # default, set false to skip)
     do_test: bool = True
+    # print one sample's tokenize->ids chain + length percentiles at setup
+    # (the reference runs inspect_tokenization_results inside every
+    # prepare_data, inspection_utils.py:73-143)
+    inspect_tokenization: bool = True
     seed: int = 42
     tot_samples: int = 10000  # samples for tokens-per-sample estimation
     freeze: int = -1

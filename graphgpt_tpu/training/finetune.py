@@ -72,6 +72,10 @@ class FinetunePipeline:
         os.makedirs(tcfg.output_dir, exist_ok=True)
         self.dataset = build_dataset(cfg)
         self.tokenizer = build_tokenizer(cfg, self.dataset)
+        if tcfg.inspect_tokenization:
+            from ..utils.inspection import inspect_tokenization
+
+            inspect_tokenization(self.dataset, self.tokenizer, n_stats=32)
         m = cfg.model
         m.vocab_size = self.tokenizer.vocab_size
         m.mask_token_id = self.tokenizer.mask_id

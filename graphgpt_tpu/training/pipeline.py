@@ -129,6 +129,12 @@ class PretrainPipeline:
                 f"{jax.process_count()} with {self.dataset.big.num_nodes} nodes"
             )
         self.tokenizer = build_tokenizer(cfg, vocab_scan_dataset)
+        if tcfg.inspect_tokenization:
+            # one-sample pipeline introspection + length percentiles (the
+            # reference's prepare_data smoke surface, SURVEY.md §4.4)
+            from ..utils.inspection import inspect_tokenization
+
+            inspect_tokenization(self.dataset, self.tokenizer, n_stats=32)
         # model config from tokenizer
         m = cfg.model
         m.vocab_size = self.tokenizer.vocab_size
