@@ -22,6 +22,7 @@ chip; numerics pinned by tests either way).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -78,7 +79,12 @@ def _mlp_kernel(x_ref, wg_ref, wu_ref, wd_ref, o_ref, *, act: str):
     ).astype(o_ref.dtype)
 
 
-def _mlp_fwd_kernel_call(x, wg, wu, wd, act: str, bt: int = 512):
+# token-tile sweep knob; 512 won the v5e sweep (see PERF.md round 4)
+_MLP_BT = int(os.environ.get("GGT_MLP_BT", "512"))
+
+
+def _mlp_fwd_kernel_call(x, wg, wu, wd, act: str, bt: int = 0):
+    bt = bt or _MLP_BT
     n, dm = x.shape
     dff = wg.shape[1]
     while n % bt != 0:
