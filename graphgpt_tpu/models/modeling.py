@@ -427,6 +427,22 @@ def backbone_apply(
             attn_out = drop_path_tokens(attn_out, r_dp1)
         x = x + attn_out
         # --- MLP block
+        if (
+            os.environ.get("GGT_MLP_NORM_FUSE", "1") == "1"
+            and cfg.mlp_kernel == "on"
+            and not (use_mdrop or use_ls or use_dp)
+        ):
+            # norm+MLP+residual in one kernel: hpre never round-trips HBM
+            # and the backward chains both tested adjoints (104.2k -> 106.2k
+            # tokens/s on v5e, PERF.md round 4). Falls back to the split
+            # path when LayerScale/DropPath/mlp-dropout sit between the MLP
+            # and the residual.
+            from ..ops.mlp import fused_norm_mlp
+
+            return fused_norm_mlp(
+                x, lp["mlp_norm"], lp["gate"], lp["up"], lp["down"],
+                cfg.rms_norm_eps, cfg.hidden_act,
+            )
         hpre = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps, _RMS_PALLAS and cfg.mlp_kernel == "on")
         mlp_kernel = os.environ.get("GGT_MLP_KERNEL", "")
         if not mlp_kernel:

@@ -166,6 +166,117 @@ fused_mlp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Norm-fused variant: rmsnorm -> gate/up/down MLP -> residual in ONE kernel
+# (the pre-norm hpre never round-trips HBM, and the backward chains the two
+# tested adjoints in plain XLA). GGT_MLP_NORM_FUSE=1 switches modeling to it.
+# ---------------------------------------------------------------------------
+def _norm_mlp_kernel(x_ref, wn_ref, wg_ref, wu_ref, wd_ref, o_ref, *, act, eps):
+    x = x_ref[...]  # [bt, dm]
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    rrms = jax.lax.rsqrt(var + eps)
+    hpre = (x32 * rrms * wn_ref[...].astype(jnp.float32)).astype(x.dtype)
+    xg = jax.lax.dot_general(
+        hpre, wg_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    xu = jax.lax.dot_general(
+        hpre, wu_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    a = _act_f32(act)(xg.astype(jnp.float32)).astype(x.dtype)
+    g = a * xu
+    mlp = jax.lax.dot_general(
+        g, wd_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[...] = (x32 + mlp).astype(o_ref.dtype)
+
+
+def _norm_mlp_call(x, wn, wg, wu, wd, eps: float, act: str):
+    n, dm = x.shape
+    dff = wg.shape[1]
+    bt = _MLP_BT
+    while n % bt != 0:
+        bt //= 2
+    return pl.pallas_call(
+        functools.partial(_norm_mlp_kernel, act=act, eps=eps),
+        grid=(n // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, dm), lambda i: (i, 0)),
+            pl.BlockSpec((1, dm), lambda i: (0, 0)),
+            pl.BlockSpec((dm, dff), lambda i: (0, 0)),
+            pl.BlockSpec((dm, dff), lambda i: (0, 0)),
+            pl.BlockSpec((dff, dm), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bt, dm), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, dm), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+    )(x, wn.reshape(1, dm), wg, wu, wd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_norm_mlp(x, wn, wg, wu, wd, eps: float, act: str):
+    """x + mlp(rmsnorm(x) * wn) in one kernel; f32 master weights cast to
+    x.dtype inside; fp32 residual add."""
+    dt = x.dtype
+    return _norm_mlp_call(
+        x, wn.astype(jnp.float32), wg.astype(dt), wu.astype(dt), wd.astype(dt),
+        eps, act,
+    )
+
+
+def _fused_norm_mlp_fwd(x, wn, wg, wu, wd, eps, act):
+    return fused_norm_mlp(x, wn, wg, wu, wd, eps, act), (x, wn, wg, wu, wd)
+
+
+def _fused_norm_mlp_bwd(eps, act, res, dout):
+    x, wn, wg, wu, wd = res
+    dt = x.dtype
+    wn32 = wn.astype(jnp.float32)
+    wg_c, wu_c, wd_c = wg.astype(dt), wu.astype(dt), wd.astype(dt)
+    act_f, act_g = _act_and_grad_f32(act)
+    # recompute forward intermediates (remat-style)
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    rrms = jax.lax.rsqrt(var + eps)
+    n = x32 * rrms
+    hpre = (n * wn32).astype(dt)
+    xg = (hpre @ wg_c).astype(dt)
+    xu = (hpre @ wu_c).astype(dt)
+    a = act_f(xg.astype(jnp.float32)).astype(dt)
+    g = a * xu
+    # MLP adjoint down to dhpre
+    do = dout.astype(dt)
+    dg = (do @ wd_c.T).astype(dt)
+    dwd = jnp.einsum("nf,nd->fd", g, do, preferred_element_type=jnp.float32)
+    da = dg * xu
+    dxu = dg * a
+    dxg = (da.astype(jnp.float32) * act_g(xg.astype(jnp.float32))).astype(dt)
+    dwg = jnp.einsum("nd,nf->df", hpre, dxg, preferred_element_type=jnp.float32)
+    dwu = jnp.einsum("nd,nf->df", hpre, dxu, preferred_element_type=jnp.float32)
+    dhpre = (dxg @ wg_c.T + dxu @ wu_c.T).astype(jnp.float32)
+    # rmsnorm adjoint + residual passthrough
+    dn = dhpre * wn32
+    dx_norm = rrms * (dn - n * jnp.mean(dn * n, axis=-1, keepdims=True))
+    dwn = jnp.sum(dhpre * n, axis=0)
+    dx = (dout.astype(jnp.float32) + dx_norm).astype(x.dtype)
+    return (
+        dx,
+        dwn.astype(wn.dtype),
+        dwg.astype(wg.dtype),
+        dwu.astype(wu.dtype),
+        dwd.astype(wd.dtype),
+    )
+
+
+fused_norm_mlp.defvjp(_fused_norm_mlp_fwd, _fused_norm_mlp_bwd)
+
+
+# ---------------------------------------------------------------------------
 # RMSNorm backward kernel: one pass over token tiles computing dx and
 # accumulating dw — the XLA lowering of the hand adjoint still costs
 # ~1.8 ms/layer at [65536, 768] (~4x the HBM-traffic floor).

@@ -514,3 +514,42 @@ def test_rmsnorm_pallas_bwd_matches_plain():
                 np.asarray(a, np.float32), np.asarray(b, np.float32),
                 rtol=tol, atol=tol,
             )
+
+
+def test_fused_norm_mlp_matches_composition():
+    """fused_norm_mlp == x + xla_mlp(rms_norm(x)) with matching grads."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from graphgpt_tpu.models import modeling as Mo
+    from graphgpt_tpu.ops import mlp as M
+
+    rng = np.random.default_rng(2)
+    n, dm, dff = 64, 32, 128
+    x = jnp.asarray(rng.normal(size=(n, dm)) * 0.5, jnp.float32)
+    wn = jnp.asarray(rng.normal(1.0, 0.1, size=(dm,)), jnp.float32)
+    wg = jnp.asarray(rng.normal(size=(dm, dff)) * 0.2, jnp.float32)
+    wu = jnp.asarray(rng.normal(size=(dm, dff)) * 0.2, jnp.float32)
+    wd = jnp.asarray(rng.normal(size=(dff, dm)) * 0.2, jnp.float32)
+
+    def ref(x, wn, wg, wu, wd):
+        h = Mo._rms_norm_ref(x, wn, 1e-6)
+        return x + M.xla_mlp(h, wg, wu, wd, "gelu")
+
+    with pltpu.force_tpu_interpret_mode():
+        y1 = M.fused_norm_mlp(x, wn, wg, wu, wd, 1e-6, "gelu")
+    y2 = ref(x, wn, wg, wu, wd)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=2e-5, atol=2e-5)
+
+    def loss1(*a):
+        return jnp.sum(M.fused_norm_mlp(*a, 1e-6, "gelu") ** 2)
+
+    def loss2(*a):
+        return jnp.sum(ref(*a) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(loss1, argnums=(0, 1, 2, 3, 4))(x, wn, wg, wu, wd)
+    g2 = jax.grad(loss2, argnums=(0, 1, 2, 3, 4))(x, wn, wg, wu, wd)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3)
