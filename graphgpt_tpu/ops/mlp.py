@@ -29,7 +29,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_VMEM_LIMIT = 100 * 1024 * 1024
+# scoped-vmem request for these kernels. Weights (3 x ~4.7 MB bf16) +
+# double-buffered token tiles fit comfortably in 32 MB; requesting more
+# starves the concurrent host->device input transfers of staging space
+# (GGT_MLP_VMEM sweep, PERF.md round 4).
+_VMEM_LIMIT = int(os.environ.get("GGT_MLP_VMEM", str(48 * 1024 * 1024)))
 
 
 def _erf_f32(x):
