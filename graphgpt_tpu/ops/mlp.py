@@ -15,8 +15,10 @@ orders below bf16 resolution).
 The backward is a plain-XLA custom-VJP rule mirroring autodiff's math
 (recompute xg/xu from x, five gradient GEMMs, fp32 weight grads).
 
-Gated by GGT_MLP_KERNEL=1 (off by default until it wins on the target
-chip; numerics pinned by tests either way).
+Default-ON for TPU meshes via model.mlp_kernel="auto" (resolved at
+pipeline setup; GGT_MLP_KERNEL=0 force-disables). The norm-fused variant
+below additionally folds the pre-MLP RMSNorm and the residual add in
+(GGT_MLP_NORM_FUSE=0 reverts). Numerics pinned by tests either way.
 """
 
 from __future__ import annotations
