@@ -409,10 +409,31 @@ def backbone_apply(
             return _drop_path(t.reshape(b, p, d), dp_rate, r, train).reshape(b * p, d)
 
         # --- attention block
-        hpre = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps, _RMS_PALLAS and cfg.mlp_kernel == "on")
-        q = (hpre @ lp["q"].astype(dt)).reshape(b, p, h, dh)
-        k = (hpre @ lp["k"].astype(dt)).reshape(b, p, hkv, dh)
-        v = (hpre @ lp["v"].astype(dt)).reshape(b, p, hkv, dh)
+        if (
+            os.environ.get("GGT_ATTN_NORM_FUSE", "0") == "1"
+            and cfg.mlp_kernel == "on"
+        ):
+            # pre-norm fused into the q/k/v projections (ops/mlp.py).
+            # Measured SLOWER on v5e (100.2k vs 106.1k tokens/s): unlike the
+            # MLP case, XLA already fuses the three projections with the
+            # rope/reshape consumers, and the kernel breaks that; knob kept
+            # for other chip generations.
+            from ..ops.mlp import fused_norm_qkv
+
+            q2, k2, v2 = fused_norm_qkv(
+                x, lp["attn_norm"], lp["q"], lp["k"], lp["v"], cfg.rms_norm_eps
+            )
+            q = q2.reshape(b, p, h, dh)
+            k = k2.reshape(b, p, hkv, dh)
+            v = v2.reshape(b, p, hkv, dh)
+        else:
+            hpre = rms_norm(
+                x, lp["attn_norm"], cfg.rms_norm_eps,
+                _RMS_PALLAS and cfg.mlp_kernel == "on",
+            )
+            q = (hpre @ lp["q"].astype(dt)).reshape(b, p, h, dh)
+            k = (hpre @ lp["k"].astype(dt)).reshape(b, p, hkv, dh)
+            v = (hpre @ lp["v"].astype(dt)).reshape(b, p, hkv, dh)
         q, k = apply_rope(q, k, cos, sin)
         attn_out = attention(
             q, k, v, segment_ids, causal=cfg.causal_attention, impl=cfg.attn_impl,

@@ -283,6 +283,104 @@ fused_norm_mlp.defvjp(_fused_norm_mlp_fwd, _fused_norm_mlp_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Norm-fused q/k/v projections: the attention pre-norm's activation never
+# round-trips HBM either (same structure as fused_norm_mlp, which measured
+# +1.8% — GGT_ATTN_NORM_FUSE gates this one pending its own measurement).
+# ---------------------------------------------------------------------------
+def _norm_qkv_kernel(x_ref, wn_ref, wq_ref, wk_ref, wv_ref, q_ref, k_ref, v_ref,
+                     *, eps):
+    x32 = x_ref[...].astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    rrms = jax.lax.rsqrt(var + eps)
+    hpre = (x32 * rrms * wn_ref[...].astype(jnp.float32)).astype(x_ref.dtype)
+    for w_ref, o_ref in ((wq_ref, q_ref), (wk_ref, k_ref), (wv_ref, v_ref)):
+        o_ref[...] = jax.lax.dot_general(
+            hpre, w_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+
+def _norm_qkv_call(x, wn, wq, wk, wv, eps: float):
+    n, dm = x.shape
+    dq, dk, dv = wq.shape[1], wk.shape[1], wv.shape[1]
+    bt = _MLP_BT
+    while n % bt != 0:
+        bt //= 2
+    return pl.pallas_call(
+        functools.partial(_norm_qkv_kernel, eps=eps),
+        grid=(n // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, dm), lambda i: (i, 0)),
+            pl.BlockSpec((1, dm), lambda i: (0, 0)),
+            pl.BlockSpec((dm, dq), lambda i: (0, 0)),
+            pl.BlockSpec((dm, dk), lambda i: (0, 0)),
+            pl.BlockSpec((dm, dv), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bt, dq), lambda i: (i, 0)),
+            pl.BlockSpec((bt, dk), lambda i: (i, 0)),
+            pl.BlockSpec((bt, dv), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, dq), x.dtype),
+            jax.ShapeDtypeStruct((n, dk), x.dtype),
+            jax.ShapeDtypeStruct((n, dv), x.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+    )(x, wn.reshape(1, dm), wq, wk, wv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def fused_norm_qkv(x, wn, wq, wk, wv, eps: float):
+    """(q, k, v) = rmsnorm(x)*wn @ (wq|wk|wv) in one kernel."""
+    dt = x.dtype
+    return _norm_qkv_call(
+        x, wn.astype(jnp.float32), wq.astype(dt), wk.astype(dt), wv.astype(dt),
+        eps,
+    )
+
+
+def _fused_norm_qkv_fwd(x, wn, wq, wk, wv, eps):
+    return fused_norm_qkv(x, wn, wq, wk, wv, eps), (x, wn, wq, wk, wv)
+
+
+def _fused_norm_qkv_bwd(eps, res, gs):
+    x, wn, wq, wk, wv = res
+    dq, dk, dv = gs
+    dt = x.dtype
+    wn32 = wn.astype(jnp.float32)
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    rrms = jax.lax.rsqrt(var + eps)
+    n = x32 * rrms
+    hpre = (n * wn32).astype(dt)
+    dwq = jnp.einsum("nd,nf->df", hpre, dq, preferred_element_type=jnp.float32)
+    dwk = jnp.einsum("nd,nf->df", hpre, dk, preferred_element_type=jnp.float32)
+    dwv = jnp.einsum("nd,nf->df", hpre, dv, preferred_element_type=jnp.float32)
+    dhpre = (
+        (dq.astype(dt) @ wq.astype(dt).T)
+        + (dk.astype(dt) @ wk.astype(dt).T)
+        + (dv.astype(dt) @ wv.astype(dt).T)
+    ).astype(jnp.float32)
+    dn = dhpre * wn32
+    dx = rrms * (dn - n * jnp.mean(dn * n, axis=-1, keepdims=True))
+    dwn = jnp.sum(dhpre * n, axis=0)
+    return (
+        dx.astype(x.dtype),
+        dwn.astype(wn.dtype),
+        dwq.astype(wq.dtype),
+        dwk.astype(wk.dtype),
+        dwv.astype(wv.dtype),
+    )
+
+
+fused_norm_qkv.defvjp(_fused_norm_qkv_fwd, _fused_norm_qkv_bwd)
+
+
+# ---------------------------------------------------------------------------
 # RMSNorm backward kernel: one pass over token tiles computing dx and
 # accumulating dw — the XLA lowering of the hand adjoint still costs
 # ~1.8 ms/layer at [65536, 768] (~4x the HBM-traffic floor).

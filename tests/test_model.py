@@ -553,3 +553,45 @@ def test_fused_norm_mlp_matches_composition():
     g2 = jax.grad(loss2, argnums=(0, 1, 2, 3, 4))(x, wn, wg, wu, wd)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3)
+
+
+def test_fused_norm_qkv_matches_composition():
+    """fused_norm_qkv == (rms_norm(x) @ wq, @ wk, @ wv) with matching grads."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from graphgpt_tpu.models import modeling as Mo
+    from graphgpt_tpu.ops import mlp as M
+
+    rng = np.random.default_rng(3)
+    n, dm, dh = 64, 32, 48
+    x = jnp.asarray(rng.normal(size=(n, dm)) * 0.5, jnp.float32)
+    wn = jnp.asarray(rng.normal(1.0, 0.1, size=(dm,)), jnp.float32)
+    wq = jnp.asarray(rng.normal(size=(dm, dh)) * 0.2, jnp.float32)
+    wk = jnp.asarray(rng.normal(size=(dm, dh)) * 0.2, jnp.float32)
+    wv = jnp.asarray(rng.normal(size=(dm, dh)) * 0.2, jnp.float32)
+
+    def ref(x, wn, wq, wk, wv):
+        h = Mo._rms_norm_ref(x, wn, 1e-6)
+        return h @ wq, h @ wk, h @ wv
+
+    with pltpu.force_tpu_interpret_mode():
+        outs1 = M.fused_norm_qkv(x, wn, wq, wk, wv, 1e-6)
+    outs2 = ref(x, wn, wq, wk, wv)
+    for a, b in zip(outs1, outs2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
+
+    def loss1(*a):
+        q, k, v = M.fused_norm_qkv(*a, 1e-6)
+        return jnp.sum(q**2) + jnp.sum(k**2) * 2 + jnp.sum(v**2) * 3
+
+    def loss2(*a):
+        q, k, v = ref(*a)
+        return jnp.sum(q**2) + jnp.sum(k**2) * 2 + jnp.sum(v**2) * 3
+
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(loss1, argnums=(0, 1, 2, 3, 4))(x, wn, wq, wk, wv)
+    g2 = jax.grad(loss2, argnums=(0, 1, 2, 3, 4))(x, wn, wq, wk, wv)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3)
