@@ -47,8 +47,10 @@ _NEG_INF = -1e30
 # online-softmax kernels take over. 2048x512 fp32 logits = 4 MiB VMEM.
 _MAX_SINGLE_BLOCK = 2048
 # raise the scoped-vmem cap for these kernels (XLA's 16 MiB default is far
-# below the v5e's physical VMEM; big single-tile blocks need the headroom)
-_VMEM_LIMIT = 100 * 1024 * 1024
+# below the v5e's physical VMEM; big single-tile blocks need the headroom).
+# Env-tunable after the MLP-kernel lesson (PERF.md round 4): oversized
+# scoped requests starve the host->device input-transfer overlap.
+_VMEM_LIMIT = int(os.environ.get("GGT_FLASH_VMEM", str(100 * 1024 * 1024)))
 
 
 # sweepable q-tile target (tools/bench_sweep.py); 512 won the v5e sweep
