@@ -119,11 +119,16 @@ def _rms_norm_vjp_bwd(eps, pallas_bwd, res, g):
     if pallas_bwd and x.ndim == 2:
         # fused one-pass kernel (dx + dw accumulated per token tile): the
         # XLA lowering of the formula below still costs ~1.8 ms/layer at
-        # the flagship [65536, 768] (~4x the HBM-traffic floor)
-        from ..ops.mlp import rmsnorm_bwd_pallas
+        # the flagship [65536, 768] (~4x the HBM-traffic floor). Runs
+        # shard-local under an active mesh (kernel_sharding wraps it in
+        # shard_map and psums dw); None = shapes don't divide the mesh,
+        # use the XLA formula below.
+        from ..parallel.kernel_sharding import rmsnorm_bwd
 
-        dx, dw = rmsnorm_bwd_pallas(x, g, weight, eps)
-        return dx, dw.astype(weight.dtype)
+        res2 = rmsnorm_bwd(x, g, weight, eps)
+        if res2 is not None:
+            dx, dw = res2
+            return dx, dw.astype(weight.dtype)
     x32 = x.astype(jnp.float32)
     g32 = g.astype(jnp.float32)
     n = x32 * rrms
@@ -418,9 +423,9 @@ def backbone_apply(
             # MLP case, XLA already fuses the three projections with the
             # rope/reshape consumers, and the kernel breaks that; knob kept
             # for other chip generations.
-            from ..ops.mlp import fused_norm_qkv
+            from ..parallel.kernel_sharding import norm_qkv
 
-            q2, k2, v2 = fused_norm_qkv(
+            q2, k2, v2 = norm_qkv(
                 x, lp["attn_norm"], lp["q"], lp["k"], lp["v"], cfg.rms_norm_eps
             )
             q = q2.reshape(b, p, h, dh)
@@ -457,8 +462,10 @@ def backbone_apply(
             # and the backward chains both tested adjoints (104.2k -> 106.2k
             # tokens/s on v5e, PERF.md round 4). Falls back to the split
             # path when LayerScale/DropPath/mlp-dropout sit between the MLP
-            # and the residual.
-            from ..ops.mlp import fused_norm_mlp
+            # and the residual. kernel_sharding runs it shard-local under
+            # an active mesh (shard_map over the token axes; Megatron
+            # colwise/rowwise + psum for tensor>1).
+            from ..parallel.kernel_sharding import norm_mlp as fused_norm_mlp
 
             return fused_norm_mlp(
                 x, lp["mlp_norm"], lp["gate"], lp["up"], lp["down"],
@@ -473,8 +480,9 @@ def backbone_apply(
             mlp_kernel = "1" if cfg.mlp_kernel == "on" else "0"
         if mlp_kernel == "1" and not use_mdrop:
             # fused Pallas MLP (ops/mlp.py): three back-to-back GEMMs with
-            # resident weights instead of XLA's windowed mega-fusion
-            from ..ops.mlp import fused_mlp
+            # resident weights instead of XLA's windowed mega-fusion;
+            # shard-local under an active mesh via kernel_sharding
+            from ..parallel.kernel_sharding import mlp as fused_mlp
 
             mlp_out = fused_mlp(
                 hpre, lp["gate"], lp["up"], lp["down"], cfg.hidden_act

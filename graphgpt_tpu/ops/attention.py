@@ -141,8 +141,9 @@ def attention(
         if impl == "auto":
             # the block view keeps the original-P dispatch decision: at
             # G=256 the XLA path would materialise [B*P/G, H, G, G] probs
-            on_tpu = jax.default_backend() == "tpu"
-            impl = "pallas" if (on_tpu and p >= 1024) else "xla"
+            from ..parallel.kernel_sharding import pallas_platform
+
+            impl = "pallas" if (pallas_platform() and p >= 1024) else "xla"
 
         def rs(x):
             return x.reshape((b * (p // g), g) + x.shape[2:])
@@ -156,9 +157,13 @@ def attention(
         # crossover measured end-to-end (fwd+bwd) on v5e: the flash kernel
         # wins from P=1024 up (its backward avoids the [P,P] probs traffic);
         # bi_causal_split now runs in-kernel too (band kernels), so denoise
-        # binary-energy decoding no longer materialises 4D masks at P >= 1024
-        on_tpu = jax.default_backend() == "tpu"
-        impl = "pallas" if (on_tpu and q.shape[1] >= 1024) else "xla"
+        # binary-energy decoding no longer materialises 4D masks at P >= 1024.
+        # Platform decided by the ACTIVE MESH devices (not the process
+        # default backend — under the axon tunnel that is "tpu" even for a
+        # virtual CPU mesh).
+        from ..parallel.kernel_sharding import pallas_platform
+
+        impl = "pallas" if (pallas_platform() and q.shape[1] >= 1024) else "xla"
     if impl == "ring":
         # sequence-parallel ring attention over the mesh's `seq` axis
         # (SURVEY §5.7 stretch; reference has no CP/SP at all); causal
@@ -180,7 +185,10 @@ def attention(
             causal=causal,
         )
     if impl == "pallas":
-        from .flash_attention import flash_attention
+        # kernel_sharding runs the kernel shard-local under an active mesh
+        # (batch over data/fsdp, heads over tensor; XLA fallback when the
+        # shapes don't divide) and reduces to the bare call without one
+        from ..parallel.kernel_sharding import flash_attention
 
         return flash_attention(
             q, k, v, segment_ids, causal=causal, softmax_scale=softmax_scale,

@@ -57,6 +57,16 @@ _VMEM_LIMIT = int(os.environ.get("GGT_FLASH_VMEM", str(100 * 1024 * 1024)))
 _BQ_TARGET = int(os.environ.get("GGT_FLASH_BQ", "512"))
 
 
+def _interpret() -> bool:
+    """Generic Pallas interpreter mode (pure-JAX evaluation, CPU-safe and
+    remat/shard_map-compatible, unlike pltpu.force_tpu_interpret_mode whose
+    IO-callback effects break jax.checkpoint): lets the multichip dryrun /
+    CPU tests run the REAL kernel dispatch on a virtual mesh."""
+    import os as _os
+
+    return _os.environ.get("GGT_PALLAS_INTERPRET", "0") == "1"
+
+
 def _pick_block(p: int, target: int = 0) -> int:
     b = min(p, target or _BQ_TARGET)
     while p % b != 0:
@@ -325,6 +335,7 @@ def _flash_fwd_band(q, k, v, seg_q, seg_k, causal, bq, bk, h, dh, bi_split=0):
             pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, 128), jnp.float32),
         ],
+        interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=_VMEM_LIMIT,
@@ -408,6 +419,7 @@ def _flash_fwd(q, k, v, seg_q, seg_k, causal, bq, bk, h, dh, bi_split=0):
         out_specs=[qspec, lspec],
         out_shape=out_shape,
         scratch_shapes=scratch,
+        interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT,
@@ -522,6 +534,7 @@ def _flash_bwd_band(q, k, v, segq3, segk3, delta, lse, do, causal, h, dh,
             pltpu.VMEM((p, hd), jnp.float32),
             pltpu.VMEM((p, hd), jnp.float32),
         ],
+        interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT,
@@ -826,6 +839,7 @@ def _flash_bwd(q, k, v, seg_q, seg_k, out, lse, do, causal, h, dh, dlse=None,
         out_specs=qspec,
         out_shape=jax.ShapeDtypeStruct((b, p, hd), q.dtype),
         scratch_shapes=dq_scratch,
+        interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT,
@@ -863,6 +877,7 @@ def _flash_bwd(q, k, v, seg_q, seg_k, out, lse, do, causal, h, dh, dlse=None,
             jax.ShapeDtypeStruct((b, p, hd), v.dtype),
         ],
         scratch_shapes=dkv_scratch,
+        interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT,
@@ -902,6 +917,7 @@ def _flash_bwd_fused(q, k, v, segq3, segk3, out, dlse, lse, do, causal, h, dh):
             pltpu.VMEM((bk, hd), jnp.float32),
             pltpu.VMEM((bk, hd), jnp.float32),
         ],
+        interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT,

@@ -38,6 +38,16 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_LIMIT = int(os.environ.get("GGT_MLP_VMEM", str(48 * 1024 * 1024)))
 
 
+def _interpret() -> bool:
+    """Generic Pallas interpreter mode (pure-JAX evaluation, CPU-safe and
+    remat/shard_map-compatible, unlike pltpu.force_tpu_interpret_mode whose
+    IO-callback effects break jax.checkpoint): lets the multichip dryrun /
+    CPU tests run the REAL kernel dispatch on a virtual mesh."""
+    import os as _os
+
+    return _os.environ.get("GGT_PALLAS_INTERPRET", "0") == "1"
+
+
 def _erf_f32(x):
     """Abramowitz-Stegun 7.1.26 (|error| <= 1.5e-7), f32, sign-extended."""
     a1, a2, a3, a4, a5 = (
@@ -107,6 +117,7 @@ def _mlp_fwd_kernel_call(x, wg, wu, wd, act: str, bt: int = 0):
         ],
         out_specs=pl.BlockSpec((bt, dm), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((n, dm), x.dtype),
+        interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=_VMEM_LIMIT,
@@ -217,6 +228,7 @@ def _norm_mlp_call(x, wn, wg, wu, wd, eps: float, act: str):
         ],
         out_specs=pl.BlockSpec((bt, dm), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((n, dm), x.dtype),
+        interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=_VMEM_LIMIT,
@@ -326,6 +338,7 @@ def _norm_qkv_call(x, wn, wq, wk, wv, eps: float):
             jax.ShapeDtypeStruct((n, dk), x.dtype),
             jax.ShapeDtypeStruct((n, dv), x.dtype),
         ],
+        interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=_VMEM_LIMIT,
@@ -430,6 +443,7 @@ def rmsnorm_bwd_pallas(x, g, w, eps: float, bt: int = 1024):
             jax.ShapeDtypeStruct((1, dm), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((1, dm), jnp.float32)],
+        interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=_VMEM_LIMIT,
