@@ -394,6 +394,13 @@ class TrainingConfig:
     num_workers: int = 8
     valid_percent: float = 0.0
     do_valid: bool = False
+    # PT mid-training eval surface: the reference runs valid-loss AND a
+    # generation band sweep AND an EMA-valid pass at every steps_per_saving
+    # (log_eval_dump_utils.py:565-645). gen_eval_bands=0 disables the band
+    # sweep at save points (evaluate_only still sweeps all 10 bands);
+    # gen_eval_samples caps its cost mid-training.
+    gen_eval_bands: int = 4
+    gen_eval_samples: int = 32
     # evaluate the test split each eval epoch (reference do_test gates the
     # FT test loader, loader_utils.py:371; default ON here — evaluation by
     # default, set false to skip)
