@@ -230,6 +230,19 @@ def all_hosts_concat(arr: np.ndarray) -> np.ndarray:
     return np.asarray(g).reshape((-1,) + tuple(arr.shape[1:]))
 
 
+def cross_host_min_int(value: int) -> int:
+    """Minimum of a host-local int across processes. Used by the
+    partitioned-corpus pipelines: each host's dataset is a DISJOINT local
+    shard, so per-epoch step counts must be capped to the smallest shard
+    for every process to issue identical collective steps."""
+    if jax.process_count() == 1:
+        return int(value)
+    from jax.experimental import multihost_utils
+
+    g = multihost_utils.process_allgather(np.asarray([int(value)], np.int64))
+    return int(np.min(g))
+
+
 def cross_host_mean_scalar(values) -> float:
     """Mean of host-local scalars across all processes (reference
     dist.reduce of eval losses, log_eval_dump_utils.py:284-291)."""
