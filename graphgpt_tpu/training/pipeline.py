@@ -136,9 +136,18 @@ class PretrainPipeline:
         # vocab_builder.py:188-206)
         vocab_scan_dataset = self.dataset
         if tcfg.dataset_partitioned and hasattr(self.dataset, "big"):
-            from ..parallel.dist_input import shard_ego_node_dataset
+            from ..data.sampling import EgoEdgeDataset
+            from ..parallel.dist_input import (
+                shard_ego_edge_dataset,
+                shard_ego_node_dataset,
+            )
 
-            self.dataset, self._corpus, self._halo_handle = shard_ego_node_dataset(
+            shard_fn = (
+                shard_ego_edge_dataset
+                if isinstance(self.dataset, EgoEdgeDataset)
+                else shard_ego_node_dataset
+            )
+            self.dataset, self._corpus, self._halo_handle = shard_fn(
                 self.dataset,
                 max(jax.process_count(), 1),
                 jax.process_index(),

@@ -613,3 +613,49 @@ def test_shard_ego_edge_dataset_rejects_fixed_negatives(big):
     )
     with pytest.raises(AssertionError, match="global MRR"):
         shard_ego_edge_dataset(ds, 2, 0)
+
+
+def test_partitioned_pretrain_edge_level_wiring(tmp_path, big, monkeypatch):
+    """PretrainPipeline dispatches EDGE-level datasets to
+    shard_ego_edge_dataset under dataset_partitioned (previously only the
+    node path existed); single-process degenerate partition trains."""
+    import jax as _jax
+
+    from graphgpt_tpu.config import Config
+    from graphgpt_tpu.data.sampling import EgoEdgeDataset
+    from graphgpt_tpu.training import pipeline as pl_mod
+
+    ds = EgoEdgeDataset(
+        big, depth_neighbors=[(1, 6)], neg_ratio=1, percent=100,
+        method="global", seed=0, pretrain_mode=True,
+    )
+    monkeypatch.setattr(pl_mod, "build_dataset", lambda cfg: ds)
+    cfg = Config()
+    cfg.tokenization.dataset = "injected_edge_big"
+    cfg.tokenization.semantics.node.discrete = "node_attr"
+    cfg.tokenization.semantics.node.dim = 5
+    cfg.model.hidden_size = 64
+    cfg.model.num_hidden_layers = 2
+    cfg.model.head_dim = 16
+    cfg.model.dtype = "float32"
+    cfg.training.task_type = "pretrain-mlm"
+    cfg.training.dataset_partitioned = True
+    cfg.training.batch_size = 8
+    cfg.training.max_length = 128
+    cfg.training.pack_tokens = 1
+    cfg.training.num_workers = 0
+    cfg.training.schedule.total_num_steps = 2
+    cfg.training.schedule.warmup_num_steps = 1
+    cfg.training.output_dir = str(tmp_path / "edge_part_pt")
+    pipe = pl_mod.PretrainPipeline(cfg).setup()
+    try:
+        from graphgpt_tpu.data.sampling import EgoEdgeDataset as EED
+
+        assert isinstance(pipe.dataset, EED)  # edge dataset survived sharding
+        batch = next(pipe._device_batches(epoch=0))
+        batch.pop("_host_token_count", None)
+        with pipe.mesh:
+            _, metrics = pipe.train_step(pipe.state, batch, _jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics["loss"]))
+    finally:
+        pipe.loader.close()
