@@ -112,7 +112,9 @@ class TokenizationConfig:
     data_dir: str = "./data"
     vocab_file: str = "vocab"
     attr_world_identifier: str = "molecule"
-    add_eos: bool = False
+    # append the trailing eos row to TASK sequences (reference tokenizer
+    # default True, tokenizer.py:36,525-526; pretrain rows always carry it)
+    add_eos: bool = True
     stack_method: str = "short"  # short|long
     label_tokens_to_pad: Tuple[str, ...] = ()
     semantics: SemanticsConfig = field(default_factory=SemanticsConfig)
@@ -258,7 +260,12 @@ class ModelConfig:
     num_neg: int = 1
     use_aux: bool = False  # auxiliary NTP head during finetune
 
-    # special tokens
+    # special tokens. pad is pinned to 0 by the vocab builder (structure
+    # tokens are laid out with <pad> first) — the reference consumes
+    # pad_token_id only to derive sequence lengths for last-token pooling
+    # (modeling_finetune.py:284-292), which here comes from segment_ids
+    # (heads.last_token_pool); cls_token_id is schema parity only (the
+    # reference asserts pooling_method=='last' and never reads it).
     pad_token_id: int = 0
     bos_token_id: int = 1
     eos_token_id: int = 2
@@ -282,6 +289,15 @@ class ModelConfig:
 
     def finalize(self) -> "ModelConfig":
         """Resolve derived architecture fields (modules_utils.py:36-42)."""
+        # loud guards for schema-parity fields with no kernel support here
+        # (the reference's Llama configs keep both False on every model)
+        assert not self.attention_bias and not self.mlp_bias, (
+            "projection biases are not implemented (reference GraphGPT "
+            "models run bias-free Llama projections)"
+        )
+        assert self.pad_token_id == 0, (
+            "pad_token_id is pinned to 0 by the vocab builder layout"
+        )
         if self.size:
             spec = _MODEL_SIZES[self.size]
             self.hidden_size = spec["hidden_size"]

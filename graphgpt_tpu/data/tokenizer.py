@@ -150,6 +150,11 @@ class StackedGSTTokenizer:
         self.node_attr_field = sem.node.discrete
         self.edge_attr_field = sem.edge.discrete
         self.stacked_feat = 1 + self.node_dim + self.edge_dim
+        # eos row policy (reference tokenizer.py:525-526): pretrain always
+        # carries the trailing eos row (the mlm preparer's labels[-1:]);
+        # TASK rows append it only under cfg.add_eos (default true, the
+        # reference tokenizer default)
+        self.append_eos = ("pretrain" in task_type) or cfg.add_eos
         # intra-instance class tokens for nodev2 token_ce_intra
         # (reference reserved semantics tokens, tokenizer_utils.py:729-747)
         self.num_intra_cls = num_intra_cls
@@ -192,6 +197,8 @@ class StackedGSTTokenizer:
                 )
             ids[:p0, col : col + self.edge_dim] = eattr
         ids[p0] = self.eos_id  # eos row
+        if not self.append_eos:
+            ids = ids[:p0]
         inst = self._instruct_rows(graph, walk, ranks)
         if inst is not None:
             ids = np.concatenate([ids, inst], axis=0)
@@ -515,6 +522,8 @@ class StackedGSTTokenizerLong(StackedGSTTokenizer):
                     else:
                         ids[r, 2 + dn :] = self.edge_lookup.default_ids
         ids[n_rows] = self.eos_id
+        if not self.append_eos:
+            ids = ids[:n_rows]
         return ids, walk, ranks
 
     def pad_stacked_labels(self, labels: np.ndarray) -> np.ndarray:

@@ -156,8 +156,12 @@ def test_sequence_parallel_train_step_matches_unsharded():
     np.testing.assert_allclose(loss_ring, loss_single, rtol=2e-5, atol=2e-5)
 
 
-@pytest.mark.skipif(jax.default_backend() != "tpu", reason="pallas chunk needs TPU")
-def test_pallas_chunk_matches_oracle():
+def test_pallas_chunk_matches_oracle(monkeypatch):
+    """Off-TPU the chunk kernels run in the generic Pallas interpreter
+    (GGT_PALLAS_INTERPRET — the same plumbing the multichip dryrun uses),
+    so this no longer skips on CPU; on-device it runs compiled."""
+    if jax.default_backend() != "tpu":
+        monkeypatch.setenv("GGT_PALLAS_INTERPRET", "1")
     from graphgpt_tpu.ops.flash_attention import flash_attention_chunk
 
     q, k, v, seg = _inputs(p=512)
