@@ -260,7 +260,7 @@ def run(out: str, quick: bool = False, pt_steps: int = 2000, ft_epochs: int = 8)
     banded = bool(
         len(band_accs) >= 2
         and band_accs[0] > band_accs[-1] + 0.03
-        and band_accs[0] > gen_acc_final * 1.05
+        and band_accs[0] > band_accs[-1] * 1.10
     )
     # EMA convergence: the EMA-evaluated valid metric within ~10% of the
     # live-params valid metric (decay is now matched to the run length)
