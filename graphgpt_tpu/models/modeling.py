@@ -439,10 +439,13 @@ def backbone_apply(
             q = (hpre @ lp["q"].astype(dt)).reshape(b, p, h, dh)
             k = (hpre @ lp["k"].astype(dt)).reshape(b, p, hkv, dh)
             v = (hpre @ lp["v"].astype(dt)).reshape(b, p, hkv, dh)
-        q, k = apply_rope(q, k, cos, sin)
+        # rope is passed through: the flash kernels rotate q/k in-kernel
+        # (fwd + transpose-rotated cotangents) — the XLA/ring paths
+        # pre-rotate inside attention() (ops/attention.py)
         attn_out = attention(
             q, k, v, segment_ids, causal=cfg.causal_attention, impl=cfg.attn_impl,
             bi_causal_split=cfg.bi_causal_split, attn_block=cfg.attn_block,
+            rope=(cos, sin),
         )
         attn_out = attn_out.reshape(b * p, h * dh) @ lp["o"].astype(dt)
         if use_adrop:

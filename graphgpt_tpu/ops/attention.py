@@ -110,7 +110,7 @@ def mixed_bi_causal_additive_mask(
 def attention(
     q, k, v, segment_ids, causal: bool = False, impl: str = "auto",
     softmax_scale: float | None = None, bi_causal_split: int = 0,
-    attn_block: int = 0,
+    attn_block: int = 0, rope=None,
 ):
     """Dispatch to the Pallas flash kernel or the XLA fallback.
 
@@ -151,6 +151,7 @@ def attention(
         out = attention(
             rs(q), rs(k), rs(v), rs(segment_ids), causal=causal, impl=impl,
             softmax_scale=softmax_scale,
+            rope=None if rope is None else (rs(rope[0]), rs(rope[1])),
         )
         return out.reshape(b, p, h, dh)
     if impl == "auto":
@@ -164,6 +165,13 @@ def attention(
         from ..parallel.kernel_sharding import pallas_platform
 
         impl = "pallas" if (pallas_platform() and q.shape[1] >= 1024) else "xla"
+    if rope is not None and impl != "pallas":
+        # only the flash kernels rotate in-kernel; every other path takes
+        # pre-rotated q/k
+        from ..models.rope import apply_rope
+
+        q, k = apply_rope(q, k, rope[0], rope[1])
+        rope = None
     if impl == "ring":
         # sequence-parallel ring attention over the mesh's `seq` axis
         # (SURVEY §5.7 stretch; reference has no CP/SP at all); causal
@@ -185,13 +193,20 @@ def attention(
             causal=causal,
         )
     if impl == "pallas":
+        import os
+
+        if rope is not None and os.environ.get("GGT_ROPE_IN_FLASH", "1") == "0":
+            from ..models.rope import apply_rope
+
+            q, k = apply_rope(q, k, rope[0], rope[1])
+            rope = None
         # kernel_sharding runs the kernel shard-local under an active mesh
-        # (batch over data/fsdp, heads over tensor; XLA fallback when the
-        # shapes don't divide) and reduces to the bare call without one
+        # (batch over data/fsdp; XLA fallback when the shapes don't divide)
+        # and reduces to the bare call without one
         from ..parallel.kernel_sharding import flash_attention
 
         return flash_attention(
             q, k, v, segment_ids, causal=causal, softmax_scale=softmax_scale,
-            bi_causal_split=bi_causal_split,
+            bi_causal_split=bi_causal_split, rope=rope,
         )
     return xla_attention(q, k, v, segment_ids, causal, softmax_scale, bi_causal_split)

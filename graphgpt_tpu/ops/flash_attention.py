@@ -102,12 +102,35 @@ def _tile_neg(seg_q, seg_k, qi, ki, bq, bk, causal, bi_split: int = 0, p: int = 
 # ---------------------------------------------------------------------------
 # Forward kernels (q pre-scaled; arrays [B, P, H*Dh]; lse [B, H, P])
 # ---------------------------------------------------------------------------
+def _rot_head(x, cos, sin, dh: int, inv: bool = False):
+    """In-kernel RoPE of one head tile [BT, Dh] (cos/sin [BT, Dh], halves
+    duplicated — the llama convention of models/rope.rope_cos_sin):
+    y = x*cos + rotate_half(x)*sin. inv applies the transpose (= inverse,
+    R is orthogonal) rotation for cotangents: sin -> -sin. f32 arithmetic,
+    result in x.dtype. Folding the rotation into the flash kernels kills
+    ~63 ms/step of XLA elementwise passes + [B,P,H,D] layout copies at the
+    flagship shape (round-5 profile) — the VPU work rides under the
+    MXU-bound attention matmuls."""
+    h2 = dh // 2
+    x32 = x.astype(jnp.float32)
+    r = jnp.concatenate([-x32[:, h2:], x32[:, :h2]], axis=-1)
+    s = sin.astype(jnp.float32)
+    if inv:
+        s = -s
+    return (x32 * cos.astype(jnp.float32) + r * s).astype(x.dtype)
+
+
 def _fwd_kernel_single(
-    q_ref, k_ref, v_ref, segq_ref, segk_ref, out_ref, lse_ref,
-    *, causal: bool, bq: int, bk: int, h: int, dh: int,
-    bi_split: int = 0, p: int = 0
+    *refs,
+    causal: bool, bq: int, bk: int, h: int, dh: int,
+    bi_split: int = 0, p: int = 0, rope: bool = False
 ):
     """Whole kv in one tile: plain softmax, no running stats."""
+    if rope:
+        (q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
+         segq_ref, segk_ref, out_ref, lse_ref) = refs
+    else:
+        q_ref, k_ref, v_ref, segq_ref, segk_ref, out_ref, lse_ref = refs
     qi = pl.program_id(1)
     neg = _tile_neg(
         segq_ref[0, 0], segk_ref[0, 0], qi, 0, bq, bk, causal, bi_split, p
@@ -115,8 +138,13 @@ def _fwd_kernel_single(
     rowvalid = segq_ref[0, 0][:, None] > 0
     for i in range(h):
         sl = slice(i * dh, (i + 1) * dh)
+        q = q_ref[0, :, sl]
+        k = k_ref[0, :, sl]
+        if rope:
+            q = _rot_head(q, cq_ref[0], sq_ref[0], dh)
+            k = _rot_head(k, ck_ref[0], sk_ref[0], dh)
         s = jax.lax.dot_general(
-            q_ref[0, :, sl], k_ref[0, :, sl], (((1,), (1,)), ((), ())),
+            q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + neg
         m = jnp.max(s, axis=-1, keepdims=True)  # [BQ, 1]
@@ -146,10 +174,16 @@ def _seg_overlap(seg_q, seg_k):
 
 
 def _fwd_kernel_stream(
-    q_ref, k_ref, v_ref, segq_ref, segk_ref, out_ref, lse_ref, acc_ref, m_ref, l_ref,
-    *, causal: bool, bq: int, bk: int, nk: int, h: int, dh: int,
-    bi_split: int = 0, p: int = 0
+    *refs,
+    causal: bool, bq: int, bk: int, nk: int, h: int, dh: int,
+    bi_split: int = 0, p: int = 0, rope: bool = False
 ):
+    if rope:
+        (q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref, segq_ref,
+         segk_ref, out_ref, lse_ref, acc_ref, m_ref, l_ref) = refs
+    else:
+        (q_ref, k_ref, v_ref, segq_ref, segk_ref, out_ref, lse_ref,
+         acc_ref, m_ref, l_ref) = refs
     ki = pl.program_id(2)
     qi = pl.program_id(1)
 
@@ -172,8 +206,13 @@ def _fwd_kernel_stream(
         )
         for i in range(h):
             sl = slice(i * dh, (i + 1) * dh)
+            q = q_ref[0, :, sl]
+            k = k_ref[0, :, sl]
+            if rope:
+                q = _rot_head(q, cq_ref[0], sq_ref[0], dh)
+                k = _rot_head(k, ck_ref[0], sk_ref[0], dh)
             s = jax.lax.dot_general(
-                q_ref[0, :, sl], k_ref[0, :, sl], (((1,), (1,)), ((), ())),
+                q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) + neg  # [BQ, BK]
             # running max/denominator columns for this head
@@ -366,13 +405,17 @@ _BAND_BK = int(os.environ.get("GGT_FLASH_BK", "256"))
 _MAX_BAND = 4096
 
 
-def _flash_fwd(q, k, v, seg_q, seg_k, causal, bq, bk, h, dh, bi_split=0):
+def _flash_fwd(q, k, v, seg_q, seg_k, causal, bq, bk, h, dh, bi_split=0,
+               rope=None):
     """q,k,v: [B, P, H*Dh] with q pre-scaled; seg_q/seg_k: [B, P] (distinct
     arrays for ring-attention chunks where the kv segments rotate).
+    rope: optional (cos, sin) [B, P, Dh] — q/k rotated IN-kernel per head
+    tile (callers pass RAW q/k then; see _rot_head).
 
     Returns out [B, P, H*Dh] and lse [B, H, P]."""
     b, p, hd = q.shape
     if _MODE == "band" and p <= _MAX_BAND:
+        assert rope is None, "band kernels take pre-rotated q/k"
         bq_b = _pick_block(p)
         bk_b = _pick_block(p, _BAND_BK)
         return _flash_fwd_band(
@@ -399,23 +442,32 @@ def _flash_fwd(q, k, v, seg_q, seg_k, causal, bq, bk, h, dh, bi_split=0):
     if nk == 1:
         kernel = functools.partial(
             _fwd_kernel_single, causal=causal, bq=bq, bk=bk, h=h, dh=dh,
-            bi_split=bi_split, p=p,
+            bi_split=bi_split, p=p, rope=rope is not None,
         )
         scratch = []
     else:
         kernel = functools.partial(
             _fwd_kernel_stream, causal=causal, bq=bq, bk=bk, nk=nk, h=h, dh=dh,
-            bi_split=bi_split, p=p,
+            bi_split=bi_split, p=p, rope=rope is not None,
         )
         scratch = [
             pltpu.VMEM((bq, hd), jnp.float32),
             pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, 128), jnp.float32),
         ]
+    inputs = [q, k, v]
+    in_specs = [qspec, kspec, kspec]
+    if rope is not None:
+        cqspec = pl.BlockSpec((1, bq, dh), lambda b, i, j: (b, i, 0))
+        ckspec = pl.BlockSpec((1, bk, dh), lambda b, i, j: (b, j, 0))
+        inputs += [rope[0], rope[1], rope[0], rope[1]]
+        in_specs += [cqspec, cqspec, ckspec, ckspec]
+    inputs += [segq3, segk3]
+    in_specs += [segq, segk]
     out, lse = pl.pallas_call(
         kernel,
         grid=(b, nq, nk),
-        in_specs=[qspec, kspec, kspec, segq, segk],
+        in_specs=in_specs,
         out_specs=[qspec, lspec],
         out_shape=out_shape,
         scratch_shapes=scratch,
@@ -424,7 +476,7 @@ def _flash_fwd(q, k, v, seg_q, seg_k, causal, bq, bk, h, dh, bi_split=0):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
-    )(q, k, v, segq3, segk3)
+    )(*inputs)
     return out, lse
 
 
@@ -547,9 +599,14 @@ def _flash_bwd_band(q, k, v, segq3, segk3, delta, lse, do, causal, h, dh,
 # Backward kernels (q pre-scaled; dq returned in pre-scaled units)
 # ---------------------------------------------------------------------------
 def _dq_kernel_single(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, segq_ref, segk_ref,
-    dq_ref, *, causal, bq, bk, h, dh, bi_split=0, p=0
+    *refs, causal, bq, bk, h, dh, bi_split=0, p=0, rope=False
 ):
+    if rope:
+        (q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref, do_ref,
+         lse_ref, delta_ref, segq_ref, segk_ref, dq_ref) = refs
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, segq_ref,
+         segk_ref, dq_ref) = refs
     qi = pl.program_id(1)
     neg = _tile_neg(
         segq_ref[0, 0], segk_ref[0, 0], qi, 0, bq, bk, causal, bi_split, p
@@ -557,9 +614,13 @@ def _dq_kernel_single(
     rowvalid = segq_ref[0, 0][:, None] > 0
     for i in range(h):
         sl = slice(i * dh, (i + 1) * dh)
+        q = q_ref[0, :, sl]
         k = k_ref[0, :, sl]
+        if rope:
+            q = _rot_head(q, cq_ref[0], sq_ref[0], dh)
+            k = _rot_head(k, ck_ref[0], sk_ref[0], dh)
         s = jax.lax.dot_general(
-            q_ref[0, :, sl], k, (((1,), (1,)), ((), ())),
+            q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + neg
         pij = jnp.exp(s - lse_ref[0, i][:, None])
@@ -574,13 +635,21 @@ def _dq_kernel_single(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if rope:
+            # dq is w.r.t. the ROTATED q: transpose-rotate back to raw q
+            dq = _rot_head(dq, cq_ref[0], sq_ref[0], dh, inv=True)
         dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
 
 
 def _dq_kernel_stream(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, segq_ref, segk_ref,
-    dq_ref, acc_ref, *, causal, bq, bk, nk, h, dh, bi_split=0, p=0
+    *refs, causal, bq, bk, nk, h, dh, bi_split=0, p=0, rope=False
 ):
+    if rope:
+        (q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref, do_ref,
+         lse_ref, delta_ref, segq_ref, segk_ref, dq_ref, acc_ref) = refs
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, segq_ref,
+         segk_ref, dq_ref, acc_ref) = refs
     qi, ki = pl.program_id(1), pl.program_id(2)
 
     @pl.when(ki == 0)
@@ -599,9 +668,13 @@ def _dq_kernel_stream(
         rowvalid = segq_ref[0, 0][:, None] > 0
         for i in range(h):
             sl = slice(i * dh, (i + 1) * dh)
+            q = q_ref[0, :, sl]
             k = k_ref[0, :, sl]
+            if rope:
+                q = _rot_head(q, cq_ref[0], sq_ref[0], dh)
+                k = _rot_head(k, ck_ref[0], sk_ref[0], dh)
             s = jax.lax.dot_general(
-                q_ref[0, :, sl], k, (((1,), (1,)), ((), ())),
+                q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) + neg
             pij = jnp.exp(s - lse_ref[0, i][:, None])
@@ -618,13 +691,19 @@ def _dq_kernel_stream(
 
     @pl.when(ki == nk - 1)
     def _finish():
-        dq_ref[0] = acc_ref[:].astype(dq_ref.dtype)
+        if rope:
+            # accumulated in rotated-q space: transpose-rotate per head
+            for i in range(h):
+                sl = slice(i * dh, (i + 1) * dh)
+                dq_ref[0, :, sl] = _rot_head(
+                    acc_ref[:, sl], cq_ref[0], sq_ref[0], dh, inv=True
+                ).astype(dq_ref.dtype)
+        else:
+            dq_ref[0] = acc_ref[:].astype(dq_ref.dtype)
 
 
 def _bwd_kernel_fused(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, out_ref, dlse_ref, segq_ref, segk_ref,
-    dq_ref, dk_ref, dv_ref, dk_acc, dv_acc, *, causal, bq, bk, nq, h, dh,
-    bi_split=0, p=0
+    *refs, causal, bq, bk, nq, h, dh, bi_split=0, p=0, rope=False
 ):
     """Single-block backward: kv spans one tile (P <= _MAX_SINGLE_BLOCK), q
     streamed in bq tiles. Computes dq, dk AND dv in one pass so the [BQ, BK]
@@ -635,6 +714,13 @@ def _bwd_kernel_fused(
     delta (= rowsum(do*out) - dlse) is computed IN-kernel per (q-tile,
     head) from the out residual: the external bhp-layout einsum cost
     ~14 ms/step in layout copies alone at the flagship shape."""
+    if rope:
+        (q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref, do_ref,
+         lse_ref, out_ref, dlse_ref, segq_ref, segk_ref,
+         dq_ref, dk_ref, dv_ref, dk_acc, dv_acc) = refs
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, out_ref, dlse_ref, segq_ref,
+         segk_ref, dq_ref, dk_ref, dv_ref, dk_acc, dv_acc) = refs
     qi = pl.program_id(1)
 
     @pl.when(qi == 0)
@@ -650,6 +736,9 @@ def _bwd_kernel_fused(
         sl = slice(i * dh, (i + 1) * dh)
         q = q_ref[0, :, sl]
         k = k_ref[0, :, sl]
+        if rope:
+            q = _rot_head(q, cq_ref[0], sq_ref[0], dh)
+            k = _rot_head(k, ck_ref[0], sk_ref[0], dh)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -670,10 +759,13 @@ def _bwd_kernel_fused(
             preferred_element_type=jnp.float32,
         )  # [BQ, BK]
         ds = pij * (dp - delta)
-        dq_ref[0, :, sl] = jax.lax.dot_general(
+        dq = jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(dq_ref.dtype)
+        )
+        if rope:
+            dq = _rot_head(dq, cq_ref[0], sq_ref[0], dh, inv=True)
+        dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
         dk_acc[:, sl] += jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -681,14 +773,27 @@ def _bwd_kernel_fused(
 
     @pl.when(qi == nq - 1)
     def _finish():
-        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        if rope:
+            # dk accumulated against ROTATED k: transpose-rotate per head
+            for i in range(h):
+                sl = slice(i * dh, (i + 1) * dh)
+                dk_ref[0, :, sl] = _rot_head(
+                    dk_acc[:, sl], ck_ref[0], sk_ref[0], dh, inv=True
+                ).astype(dk_ref.dtype)
+        else:
+            dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
 def _dkv_kernel_single(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, segq_ref, segk_ref,
-    dk_ref, dv_ref, *, causal, bq, bk, h, dh, bi_split=0, p=0
+    *refs, causal, bq, bk, h, dh, bi_split=0, p=0, rope=False
 ):
+    if rope:
+        (q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref, do_ref,
+         lse_ref, delta_ref, segq_ref, segk_ref, dk_ref, dv_ref) = refs
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, segq_ref,
+         segk_ref, dk_ref, dv_ref) = refs
     ki = pl.program_id(1)
     neg = _tile_neg(
         segq_ref[0, 0], segk_ref[0, 0], 0, ki, bq, bk, causal, bi_split, p
@@ -697,8 +802,12 @@ def _dkv_kernel_single(
     for i in range(h):
         sl = slice(i * dh, (i + 1) * dh)
         q = q_ref[0, :, sl]
+        kk = k_ref[0, :, sl]
+        if rope:
+            q = _rot_head(q, cq_ref[0], sq_ref[0], dh)
+            kk = _rot_head(kk, ck_ref[0], sk_ref[0], dh)
         s = jax.lax.dot_general(
-            q, k_ref[0, :, sl], (((1,), (1,)), ((), ())),
+            q, kk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + neg  # [BQ, BK]
         pij = jnp.exp(s - lse_ref[0, i][:, None])
@@ -716,15 +825,22 @@ def _dkv_kernel_single(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [BK, Dh]
+        if rope:
+            dk = _rot_head(dk, ck_ref[0], sk_ref[0], dh, inv=True)
         dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
         dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
 
 
 def _dkv_kernel_stream(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, segq_ref, segk_ref,
-    dk_ref, dv_ref, dk_acc, dv_acc, *, causal, bq, bk, nq, h, dh,
-    bi_split=0, p=0
+    *refs, causal, bq, bk, nq, h, dh, bi_split=0, p=0, rope=False
 ):
+    if rope:
+        (q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref, do_ref,
+         lse_ref, delta_ref, segq_ref, segk_ref,
+         dk_ref, dv_ref, dk_acc, dv_acc) = refs
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, segq_ref,
+         segk_ref, dk_ref, dv_ref, dk_acc, dv_acc) = refs
     ki, qi = pl.program_id(1), pl.program_id(2)
 
     @pl.when(qi == 0)
@@ -745,8 +861,12 @@ def _dkv_kernel_stream(
         for i in range(h):
             sl = slice(i * dh, (i + 1) * dh)
             q = q_ref[0, :, sl]
+            kk = k_ref[0, :, sl]
+            if rope:
+                q = _rot_head(q, cq_ref[0], sq_ref[0], dh)
+                kk = _rot_head(kk, ck_ref[0], sk_ref[0], dh)
             s = jax.lax.dot_general(
-                q, k_ref[0, :, sl], (((1,), (1,)), ((), ())),
+                q, kk, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) + neg  # [BQ, BK]
             pij = jnp.exp(s - lse_ref[0, i][:, None])
@@ -767,14 +887,23 @@ def _dkv_kernel_stream(
 
     @pl.when(qi == nq - 1)
     def _finish():
-        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        if rope:
+            for i in range(h):
+                sl = slice(i * dh, (i + 1) * dh)
+                dk_ref[0, :, sl] = _rot_head(
+                    dk_acc[:, sl], ck_ref[0], sk_ref[0], dh, inv=True
+                ).astype(dk_ref.dtype)
+        else:
+            dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
 def _flash_bwd(q, k, v, seg_q, seg_k, out, lse, do, causal, h, dh, dlse=None,
-               bi_split=0):
+               bi_split=0, rope=None):
     """dlse: optional [B, H, P] cotangent of the lse output (ring-attention
-    combine); folds into the delta term: ds = p*(dp - delta + dlse)."""
+    combine); folds into the delta term: ds = p*(dp - delta + dlse).
+    rope: optional (cos, sin) [B, P, Dh] — q/k arrive RAW, the kernels
+    rotate them and transpose-rotate dq/dk back (see _rot_head)."""
     b, p, hd = q.shape
     segq3 = seg_q.reshape(b, 1, p)
     segk3 = seg_k.reshape(b, 1, p)
@@ -790,8 +919,12 @@ def _flash_bwd(q, k, v, seg_q, seg_k, out, lse, do, causal, h, dh, dlse=None,
             else jnp.zeros((b, h, p), jnp.float32)
         )
         return _flash_bwd_fused(
-            q, k, v, segq3, segk3, out, dlse_in, lse, do, causal, h, dh
+            q, k, v, segq3, segk3, out, dlse_in, lse, do, causal, h, dh,
+            rope=rope,
         )
+    assert rope is None or _MODE not in ("band", "skip"), (
+        "band/skip bwd kernels take pre-rotated q/k"
+    )
     # fp32 accumulation WITHOUT materialising fp32 copies of do/out:
     # an explicit .astype(f32) here produced two 200MB fp32 tensors (plus
     # layout copies) per layer in the profile; preferred_element_type keeps
@@ -825,17 +958,29 @@ def _flash_bwd(q, k, v, seg_q, seg_k, out, lse, do, causal, h, dh, dlse=None,
     rowq = pl.BlockSpec((1, h, bq), lambda b, i, j: (b, 0, i))
     segq = pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i))
     segk = pl.BlockSpec((1, 1, bk), lambda b, i, j: (b, 0, j))
-    common = dict(causal=causal, bq=bq, bk=bk, h=h, dh=dh, bi_split=bi_split, p=p)
+    common = dict(
+        causal=causal, bq=bq, bk=bk, h=h, dh=dh, bi_split=bi_split, p=p,
+        rope=rope is not None,
+    )
     if nk == 1:
         dq_kernel = functools.partial(_dq_kernel_single, **common)
         dq_scratch = []
     else:
         dq_kernel = functools.partial(_dq_kernel_stream, nk=nk, **common)
         dq_scratch = [pltpu.VMEM((bq, hd), jnp.float32)]
+    dq_inputs = [q, k, v]
+    dq_specs = [qspec, kspec, kspec]
+    if rope is not None:
+        cq = pl.BlockSpec((1, bq, dh), lambda b, i, j: (b, i, 0))
+        ck = pl.BlockSpec((1, bk, dh), lambda b, i, j: (b, j, 0))
+        dq_inputs += [rope[0], rope[1], rope[0], rope[1]]
+        dq_specs += [cq, cq, ck, ck]
+    dq_inputs += [do, lse, delta, segq3, segk3]
+    dq_specs += [qspec, rowq, rowq, segq, segk]
     dq = pl.pallas_call(
         dq_kernel,
         grid=(b, nq, nk),
-        in_specs=[qspec, kspec, kspec, qspec, rowq, rowq, segq, segk],
+        in_specs=dq_specs,
         out_specs=qspec,
         out_shape=jax.ShapeDtypeStruct((b, p, hd), q.dtype),
         scratch_shapes=dq_scratch,
@@ -844,7 +989,7 @@ def _flash_bwd(q, k, v, seg_q, seg_k, out, lse, do, causal, h, dh, dlse=None,
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
-    )(q, k, v, do, lse, delta, segq3, segk3)
+    )(*dq_inputs)
     # dkv: swap the roles — kv tiles on the parallel axis, q streamed
     if _MODE == "skip":
         bq2, bk2 = _pick_block(p, _BAND_BK), _pick_block(p, _BQ_BWD)
@@ -857,7 +1002,10 @@ def _flash_bwd(q, k, v, seg_q, seg_k, out, lse, do, causal, h, dh, dlse=None,
     rowq2 = pl.BlockSpec((1, h, bq2), lambda b, j, i: (b, 0, i))
     segq2 = pl.BlockSpec((1, 1, bq2), lambda b, j, i: (b, 0, i))
     segk2 = pl.BlockSpec((1, 1, bk2), lambda b, j, i: (b, 0, j))
-    common2 = dict(causal=causal, bq=bq2, bk=bk2, h=h, dh=dh, bi_split=bi_split, p=p)
+    common2 = dict(
+        causal=causal, bq=bq2, bk=bk2, h=h, dh=dh, bi_split=bi_split, p=p,
+        rope=rope is not None,
+    )
     if nq2 == 1:
         dkv_kernel = functools.partial(_dkv_kernel_single, **common2)
         dkv_scratch = []
@@ -867,10 +1015,19 @@ def _flash_bwd(q, k, v, seg_q, seg_k, out, lse, do, causal, h, dh, dlse=None,
             pltpu.VMEM((bk2, hd), jnp.float32),
             pltpu.VMEM((bk2, hd), jnp.float32),
         ]
+    dkv_inputs = [q, k, v]
+    dkv_specs = [qspec2, kspec2, kspec2]
+    if rope is not None:
+        cq2 = pl.BlockSpec((1, bq2, dh), lambda b, j, i: (b, i, 0))
+        ck2 = pl.BlockSpec((1, bk2, dh), lambda b, j, i: (b, j, 0))
+        dkv_inputs += [rope[0], rope[1], rope[0], rope[1]]
+        dkv_specs += [cq2, cq2, ck2, ck2]
+    dkv_inputs += [do, lse, delta, segq3, segk3]
+    dkv_specs += [qspec2, rowq2, rowq2, segq2, segk2]
     dk, dv = pl.pallas_call(
         dkv_kernel,
         grid=(b, nk2, nq2),
-        in_specs=[qspec2, kspec2, kspec2, qspec2, rowq2, rowq2, segq2, segk2],
+        in_specs=dkv_specs,
         out_specs=[kspec2, kspec2],
         out_shape=[
             jax.ShapeDtypeStruct((b, p, hd), k.dtype),
@@ -882,14 +1039,15 @@ def _flash_bwd(q, k, v, seg_q, seg_k, out, lse, do, causal, h, dh, dlse=None,
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
-    )(q, k, v, do, lse, delta, segq3, segk3)
+    )(*dkv_inputs)
     return dq, dk, dv
 
 
 _BQ_BWD = int(os.environ.get("GGT_FLASH_BQ_BWD", "0"))  # 0 -> _BQ_TARGET
 
 
-def _flash_bwd_fused(q, k, v, segq3, segk3, out, dlse, lse, do, causal, h, dh):
+def _flash_bwd_fused(q, k, v, segq3, segk3, out, dlse, lse, do, causal, h, dh,
+                     rope=None):
     """One pallas_call producing (dq, dk, dv) when the whole kv axis fits a
     single tile; see _bwd_kernel_fused."""
     b, p, hd = q.shape
@@ -901,12 +1059,22 @@ def _flash_bwd_fused(q, k, v, segq3, segk3, out, dlse, lse, do, causal, h, dh):
     segq = pl.BlockSpec((1, 1, bq), lambda b, i: (b, 0, i))
     segk = pl.BlockSpec((1, 1, bk), lambda b, i: (b, 0, 0))
     kernel = functools.partial(
-        _bwd_kernel_fused, causal=causal, bq=bq, bk=bk, nq=nq, h=h, dh=dh
+        _bwd_kernel_fused, causal=causal, bq=bq, bk=bk, nq=nq, h=h, dh=dh,
+        rope=rope is not None,
     )
+    inputs = [q, k, v]
+    in_specs = [qspec, kspec, kspec]
+    if rope is not None:
+        cq = pl.BlockSpec((1, bq, dh), lambda b, i: (b, i, 0))
+        ck = pl.BlockSpec((1, bk, dh), lambda b, i: (b, 0, 0))
+        inputs += [rope[0], rope[1], rope[0], rope[1]]
+        in_specs += [cq, cq, ck, ck]
+    inputs += [do, lse, out, dlse, segq3, segk3]
+    in_specs += [qspec, rowq, qspec, rowq, segq, segk]
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid=(b, nq),
-        in_specs=[qspec, kspec, kspec, qspec, rowq, qspec, rowq, segq, segk],
+        in_specs=in_specs,
         out_specs=[qspec, kspec, kspec],
         out_shape=[
             jax.ShapeDtypeStruct((b, p, hd), q.dtype),
@@ -922,7 +1090,7 @@ def _flash_bwd_fused(q, k, v, segq3, segk3, out, dlse, lse, do, causal, h, dh):
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
-    )(q, k, v, do, lse, out, dlse, segq3, segk3)
+    )(*inputs)
     return dq, dk, dv
 
 
@@ -966,6 +1134,36 @@ def _attach_grad_bwd(causal, h, dh, bi_split, residuals, g):
 
 
 _attach_grad.defvjp(_attach_grad_fwd, _attach_grad_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+def _attach_grad_rope(qs, k, v, seg_q, seg_k, out, lse, cos, sin, causal, h,
+                      dh, bi_split=0):
+    """_attach_grad variant for IN-KERNEL rope: q/k residuals are RAW
+    (pre-rotation) — the backward kernels rotate them and transpose-rotate
+    dq/dk, so the rotation never materialises in HBM in either direction.
+    cos/sin descend from integer position ids; their cotangents are zero."""
+    return out
+
+
+def _attach_grad_rope_fwd(qs, k, v, seg_q, seg_k, out, lse, cos, sin, causal,
+                          h, dh, bi_split=0):
+    return out, (qs, k, v, seg_q, seg_k, out, lse, cos, sin)
+
+
+def _attach_grad_rope_bwd(causal, h, dh, bi_split, residuals, g):
+    qs, k, v, seg_q, seg_k, out, lse, cos, sin = residuals
+    dqs, dk, dv = _flash_bwd(
+        qs, k, v, seg_q, seg_k, out, lse, g, causal, h, dh,
+        bi_split=bi_split, rope=(cos, sin),
+    )
+    return (
+        dqs, dk, dv, None, None, jnp.zeros_like(out), jnp.zeros_like(lse),
+        jnp.zeros_like(cos), jnp.zeros_like(sin),
+    )
+
+
+_attach_grad_rope.defvjp(_attach_grad_rope_fwd, _attach_grad_rope_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
@@ -1033,25 +1231,46 @@ def flash_attention(
     causal: bool = False,
     softmax_scale: Optional[float] = None,
     bi_causal_split: int = 0,
+    rope: Optional[tuple] = None,  # (cos, sin) [B, P, Dh]
 ) -> jnp.ndarray:
+    """rope, when given, is applied IN-KERNEL to q/k head tiles (fwd AND
+    bwd, with the transpose rotation on dq/dk): the scale fold commutes
+    with the rotation, and the VPU rotation work hides under the MXU
+    matmuls — vs ~63 ms/step of XLA elementwise passes + [B,P,H,D] layout
+    copies when rotating outside (round-5 profile, flagship shape)."""
     from jax.ad_checkpoint import checkpoint_name
 
     b, p, h, dh = q.shape
+    if rope is not None and (_MODE in ("band", "skip") or dh < _PAD_DH):
+        # band/skip kernels and the padded-dh layout (rotate_half pairing
+        # would mix real and pad lanes) pre-rotate outside instead
+        from ..models.rope import apply_rope
+
+        q, k = apply_rope(q, k, rope[0], rope[1])
+        rope = None
     qs, kf, vf, dh_k = _prep(q, k, v, softmax_scale)
+    if rope is not None:
+        rope = (rope[0].astype(qs.dtype), rope[1].astype(qs.dtype))
     bq, bk = _fwd_blocks(p)
     out, lse = _flash_fwd(
         jax.lax.stop_gradient(qs),
         jax.lax.stop_gradient(kf),
         jax.lax.stop_gradient(vf),
         segment_ids, segment_ids, causal, bq, bk, h, dh_k,
-        bi_split=bi_causal_split,
+        bi_split=bi_causal_split, rope=rope,
     )
     out = checkpoint_name(out, "attn_out")
     lse = checkpoint_name(lse, "attn_lse")
-    out = _attach_grad(
-        qs, kf, vf, segment_ids, segment_ids, out, lse, causal, h, dh_k,
-        bi_causal_split,
-    )
+    if rope is None:
+        out = _attach_grad(
+            qs, kf, vf, segment_ids, segment_ids, out, lse, causal, h, dh_k,
+            bi_causal_split,
+        )
+    else:
+        out = _attach_grad_rope(
+            qs, kf, vf, segment_ids, segment_ids, out, lse, rope[0], rope[1],
+            causal, h, dh_k, bi_causal_split,
+        )
     out = out.reshape(b, p, h, dh_k)
     return out[..., :dh] if dh_k != dh else out
 

@@ -360,7 +360,8 @@ def rmsnorm_bwd(x, g, w, eps: float):
 # Flash attention
 # ---------------------------------------------------------------------------
 @functools.lru_cache(maxsize=64)
-def _flash_fns(mesh, causal: bool, bi_split: int, h_local: int, dh_k: int):
+def _flash_fns(mesh, causal: bool, bi_split: int, h_local: int, dh_k: int,
+               rope: bool = False):
     """(fwd shard_map, attach custom_vjp) for the flash kernels over `mesh`
     (tensor==1).
 
@@ -375,7 +376,51 @@ def _flash_fns(mesh, causal: bool, bi_split: int, h_local: int, dh_k: int):
     batch = ("data", "fsdp")
     qkv = P(batch, None, None)  # [B, P, H*dh_k]
     seg = P(batch, None)
+    cs = P(batch, None, None)  # rope cos/sin [B, P, dh_k]
     lse_s = P(batch, None, None)  # [B, H, P]
+
+    if rope:
+
+        def fwd_body(qs, kf, vf, segs, cos, sin):
+            b, p, _ = qs.shape
+            bq, bk = FA._fwd_blocks(p)
+            return FA._flash_fwd(
+                qs, kf, vf, segs, segs, causal, bq, bk, h_local, dh_k,
+                bi_split=bi_split, rope=(cos, sin),
+            )
+
+        fwd_sm = _fwd_only(
+            fwd_body, mesh, (qkv, qkv, qkv, seg, cs, cs), (qkv, lse_s)
+        )
+
+        def bwd_body(qs, kf, vf, segs, cos, sin, out, lse, g):
+            return FA._flash_bwd(
+                qs, kf, vf, segs, segs, out, lse, g, causal, h_local, dh_k,
+                bi_split=bi_split, rope=(cos, sin),
+            )
+
+        bwd_sm = _fwd_only(
+            bwd_body, mesh, (qkv, qkv, qkv, seg, cs, cs, qkv, lse_s, qkv),
+            (qkv, qkv, qkv),
+        )
+
+        @jax.custom_vjp
+        def attach(qs, kf, vf, segs, cos, sin, out, lse):
+            return out
+
+        def attach_fwd(qs, kf, vf, segs, cos, sin, out, lse):
+            return out, (qs, kf, vf, segs, cos, sin, out, lse)
+
+        def attach_bwd(res, g):
+            qs, kf, vf, segs, cos, sin, out, lse = res
+            dq, dk, dv = bwd_sm(qs, kf, vf, segs, cos, sin, out, lse, g)
+            return (
+                dq, dk, dv, None, jnp.zeros_like(cos), jnp.zeros_like(sin),
+                jnp.zeros_like(out), jnp.zeros_like(lse),
+            )
+
+        attach.defvjp(attach_fwd, attach_bwd)
+        return fwd_sm, attach
 
     def fwd_body(qs, kf, vf, segs):
         b, p, _ = qs.shape
@@ -417,6 +462,7 @@ def _flash_fns(mesh, causal: bool, bi_split: int, h_local: int, dh_k: int):
 def flash_attention(
     q, k, v, segment_ids, causal: bool = False,
     softmax_scale: Optional[float] = None, bi_causal_split: int = 0,
+    rope=None,
 ):
     """Pallas flash attention [B,P,H,Dh], shard-local under an active mesh:
     batch over ("data","fsdp"), heads over "tensor" (no collectives — the
@@ -429,7 +475,7 @@ def flash_attention(
     if mesh is None:
         return FA.flash_attention(
             q, k, v, segment_ids, causal=causal, softmax_scale=softmax_scale,
-            bi_causal_split=bi_causal_split,
+            bi_causal_split=bi_causal_split, rope=rope,
         )
     s = dict(mesh.shape)
     bdp = s.get("data", 1) * s.get("fsdp", 1)
@@ -445,21 +491,45 @@ def flash_attention(
                 " (GSPMD-partitioned); use attn_impl='ring' for sequence"
                 " parallelism",
             )
+        if rope is not None:
+            from ..models.rope import apply_rope
+
+            q, k = apply_rope(q, k, rope[0], rope[1])
         return xla_attention(
             q, k, v, segment_ids, causal, softmax_scale, bi_causal_split
         )
+    if rope is not None and (FA._MODE in ("band", "skip") or dh < FA._PAD_DH):
+        from ..models.rope import apply_rope
+
+        q, k = apply_rope(q, k, rope[0], rope[1])
+        rope = None
     # scale fold / GQA repeat / dh padding are plain XLA — global level
     qs, kf, vf, dh_k = FA._prep(q, k, v, softmax_scale)
-    fwd_sm, attach = _flash_fns(mesh, causal, bi_causal_split, h, dh_k)
-    out, lse = fwd_sm(
-        jax.lax.stop_gradient(qs),
-        jax.lax.stop_gradient(kf),
-        jax.lax.stop_gradient(vf),
-        segment_ids,
+    fwd_sm, attach = _flash_fns(
+        mesh, causal, bi_causal_split, h, dh_k, rope=rope is not None
     )
-    out = checkpoint_name(out, "attn_out")
-    lse = checkpoint_name(lse, "attn_lse")
-    out = attach(qs, kf, vf, segment_ids, out, lse)
+    if rope is not None:
+        cos = rope[0].astype(qs.dtype)
+        sin = rope[1].astype(qs.dtype)
+        out, lse = fwd_sm(
+            jax.lax.stop_gradient(qs),
+            jax.lax.stop_gradient(kf),
+            jax.lax.stop_gradient(vf),
+            segment_ids, cos, sin,
+        )
+        out = checkpoint_name(out, "attn_out")
+        lse = checkpoint_name(lse, "attn_lse")
+        out = attach(qs, kf, vf, segment_ids, cos, sin, out, lse)
+    else:
+        out, lse = fwd_sm(
+            jax.lax.stop_gradient(qs),
+            jax.lax.stop_gradient(kf),
+            jax.lax.stop_gradient(vf),
+            segment_ids,
+        )
+        out = checkpoint_name(out, "attn_out")
+        lse = checkpoint_name(lse, "attn_lse")
+        out = attach(qs, kf, vf, segment_ids, out, lse)
     out = out.reshape(b, p, h, dh_k)
     return out[..., :dh] if dh_k != dh else out
 

@@ -245,3 +245,93 @@ def test_legacy_dense_path_still_matches(causal, monkeypatch):
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), rtol=2e-4, atol=2e-4)
     for a, b_ in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=5e-4, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel RoPE (round 5): rotation folded into the kernels, fwd + bwd
+# ---------------------------------------------------------------------------
+def _rope_tables(b, p, dh, seed=3):
+    from graphgpt_tpu.models.rope import rope_cos_sin
+
+    pos = jnp.tile(jnp.arange(p, dtype=jnp.int32), (b, 1))
+    return rope_cos_sin(pos, dh, 10000.0)
+
+
+def _seg_padded(b, p):
+    seg = np.ones((b, p), np.int32)
+    seg[:, 40:90] = 2
+    seg[:, p - 20 :] = 0
+    return jnp.asarray(seg)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_rope_in_kernel_matches_prerotated(monkeypatch, causal):
+    """flash(rope=(cos,sin)) on RAW q/k == pre-rotated q/k through the
+    same kernel AND the XLA oracle — dh=64 (the flagship head_dim; no
+    pad-lane pairing)."""
+    from graphgpt_tpu.models.rope import apply_rope
+
+    monkeypatch.setenv("GGT_PALLAS_INTERPRET", "1")
+    b, p, h, d = 2, 128, 2, 64
+    q, k, v = _rand_qkv(b, p, h, d, seed=5)
+    seg = _seg_padded(b, p)
+    cos, sin = _rope_tables(b, p, d)
+    got = fa.flash_attention(q, k, v, seg, causal=causal, rope=(cos, sin))
+    qr, kr = apply_rope(q, k, cos, sin)
+    want_kernel = fa.flash_attention(qr, kr, v, seg, causal=causal)
+    want_xla = xla_attention(qr, kr, v, seg, causal)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want_kernel), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want_xla), rtol=2e-4, atol=2e-4
+    )
+
+
+@pytest.mark.parametrize("stream", [False, True])
+def test_rope_in_kernel_gradients(monkeypatch, stream):
+    """Gradients through the in-kernel rotation (transpose rotation on
+    dq/dk) == autodiff of apply_rope + XLA attention; stream=True forces
+    the multi-block dq/dkv kernels (counter-rotation at the accumulator
+    finish)."""
+    from graphgpt_tpu.models.rope import apply_rope
+
+    monkeypatch.setenv("GGT_PALLAS_INTERPRET", "1")
+    if stream:
+        monkeypatch.setattr(fa, "_MAX_SINGLE_BLOCK", 64)
+        monkeypatch.setattr(fa, "_BQ_TARGET", 64)
+    b, p, h, d = 1, 128, 2, 64
+    q, k, v = _rand_qkv(b, p, h, d, seed=6)
+    seg = _seg_padded(b, p)
+    cos, sin = _rope_tables(b, p, d)
+
+    def loss_kernel(q, k, v):
+        out = fa.flash_attention(q, k, v, seg, rope=(cos, sin))
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    def loss_ref(q, k, v):
+        qr, kr = apply_rope(q, k, cos, sin)
+        return jnp.sum(xla_attention(qr, kr, v, seg).astype(jnp.float32) ** 2)
+
+    g1 = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-3, atol=2e-3
+        )
+
+
+def test_rope_small_dh_prerotates(monkeypatch):
+    """dh < the pad width pre-rotates outside (rotate_half pairing would
+    mix real and pad lanes in-kernel) — results must still match."""
+    from graphgpt_tpu.models.rope import apply_rope
+
+    monkeypatch.setenv("GGT_PALLAS_INTERPRET", "1")
+    b, p, h, d = 1, 128, 2, 32
+    q, k, v = _rand_qkv(b, p, h, d, seed=7)
+    seg = jnp.ones((b, p), jnp.int32)
+    cos, sin = _rope_tables(b, p, d)
+    got = fa.flash_attention(q, k, v, seg, rope=(cos, sin))
+    qr, kr = apply_rope(q, k, cos, sin)
+    want = xla_attention(qr, kr, v, seg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
