@@ -112,12 +112,14 @@ def _rot_head(x, cos, sin, dh: int, inv: bool = False):
     flagship shape (round-5 profile) — the VPU work rides under the
     MXU-bound attention matmuls."""
     h2 = dh // 2
-    x32 = x.astype(jnp.float32)
-    r = jnp.concatenate([-x32[:, h2:], x32[:, :h2]], axis=-1)
-    s = sin.astype(jnp.float32)
+    # native-dtype math: the outside apply_rope path multiplies in q.dtype
+    # too, and an f32 round-trip measured ~1 ms/layer of extra VPU work
+    c = cos.astype(x.dtype)
+    s = sin.astype(x.dtype)
+    r = jnp.concatenate([-x[:, h2:], x[:, :h2]], axis=-1)
     if inv:
-        s = -s
-    return (x32 * cos.astype(jnp.float32) + r * s).astype(x.dtype)
+        return x * c - r * s
+    return x * c + r * s
 
 
 def _fwd_kernel_single(
