@@ -1045,7 +1045,11 @@ def _flash_bwd(q, k, v, seg_q, seg_k, out, lse, do, causal, h, dh, dlse=None,
     return dq, dk, dv
 
 
-_BQ_BWD = int(os.environ.get("GGT_FLASH_BQ_BWD", "0"))  # 0 -> _BQ_TARGET
+# fused-backward q-tile: 1024 won the round-5 sweep (113.8k vs 110.9k at
+# bq=512 — with the in-kernel rope, one whole-block q tile rotates k once
+# and halves the per-tile loop overhead; the fwd kernel at bq=1024 and the
+# combination both measured lower). 0 -> _BQ_TARGET.
+_BQ_BWD = int(os.environ.get("GGT_FLASH_BQ_BWD", "1024"))
 
 
 def _flash_bwd_fused(q, k, v, segq3, segk3, out, dlse, lse, do, causal, h, dh,
