@@ -13,13 +13,13 @@ pipelines always trace inside one):
 
   - shards the TOKEN/BATCH dims over ("data", "fsdp", "seq") — every kernel
     is batch-parallel since mask structure derives from per-row segment ids;
-  - for `tensor` > 1 runs the Megatron pattern: colwise gate/up (dff
-    sharded), rowwise down with a psum over "tensor"; attention shards the
-    HEAD axis (colwise q/k/v already lay heads out tensor-contiguously);
+  - for `tensor` > 1 the MLP kernels keep running via custom_partitioning
+    with their token dim sharded over EVERY mesh axis (note 2); flash
+    attention falls back to GSPMD-partitioned XLA there;
   - weights carry replicated in_specs, so the per-layer weight all-gather
-    shard_map inserts is exactly the FSDP/ZeRO-3 gather-for-compute — while
-    activations stay sharded end to end (asserted by
-    `find_activation_allgathers` over the compiled HLO);
+    is exactly the FSDP/ZeRO-3 gather-for-compute — while activations stay
+    sharded end to end (asserted by `find_activation_allgathers` over the
+    compiled HLO);
   - falls back LOUDLY (one warning per call signature) to the equivalent
     XLA math when a dim doesn't divide its mesh axes — GSPMD partitions the
     plain-XLA ops fine, so odd shapes lose the kernel, not correctness.
@@ -34,19 +34,27 @@ CORRECTNESS NOTES:
    transpose with check_vma=False proved unsound, and check_vma=True
    cannot infer through Pallas calls (no vma on their out_shapes).
 
-2. `tensor` > 1 falls back LOUDLY to the XLA math — no kernel, no
-   shard_map. jax 0.9 has a deeper partitioner bug: with TENSOR-SHARDED
-   WEIGHTS anywhere in the graph, the mere presence of a manual region on
-   the activation path corrupts the gradients of the SURROUNDING
-   XLA-autodiffed code (a pure IDENTITY shard_map — fwd x*1.0, explicit
-   custom_vjp bwd g*1.0 — flips dp-exact grads to ~100% wrong; one layer,
-   no custom kernels, both GSPMD and Shardy partitioners, forward values
-   exact). dp/fsdp/seq-sharded graphs are unaffected — verified exact on
-   the full flagship model, grads included. The canary
+2. `tensor` > 1 routes through jax.experimental.custom_partitioning
+   instead of shard_map. jax 0.9 has a deeper partitioner bug: with
+   TENSOR-SHARDED WEIGHTS anywhere in the graph, the mere presence of a
+   shard_map manual region on the activation path corrupts the gradients
+   of the SURROUNDING XLA-autodiffed code (a pure IDENTITY shard_map —
+   fwd x*1.0, explicit custom_vjp bwd g*1.0 — flips dp-exact grads to
+   ~100% wrong; one layer, no custom kernels, both GSPMD and Shardy
+   partitioners, forward values exact; the canary
    tests/test_kernel_sharding.py::test_jax_tensor_sharded_shardmap_canary
-   XPASSes when an upstream fix lands; Megatron bodies can then return.
-   Until then, tensor parallelism is served by the (GSPMD-partitioned)
-   XLA path — the same op coverage, without the fused kernels.
+   XPASSes when an upstream fix lands). custom_partitioning creates NO
+   manual region — the kernel becomes a first-class partitioned op in
+   GSPMD auto mode — and the same identity probe comes back grad-exact,
+   with ONE caveat found by structural ablation: a custom_partitioning
+   call placed INSIDE a custom_vjp backward rule re-triggers the
+   corruption (forward-position cp ops are clean). Hence under tp the MLP
+   kernels run via cp — their token dim partitions over every mesh axis,
+   weights gathered per shard, and their backwards are plain XLA einsums
+   that GSPMD handles natively — while flash attention falls back to XLA
+   (its backward is itself a Pallas kernel, which would have to ride cp
+   inside the custom_vjp bwd). GGT_TP_KERNELS=0 forces the plain-XLA
+   fallback for the MLPs too.
 
 Numerics pinned by tests/test_kernel_sharding.py against unsharded XLA,
 gradients included, at flagship layer dimensions.
@@ -139,20 +147,122 @@ def _fwd_only(body, mesh, in_specs, out_specs):
 # MLP kernels
 # ---------------------------------------------------------------------------
 def _tp_fallback(mesh) -> bool:
-    """True when the mesh runs tensor parallelism: kernels must fall back
-    to XLA (module CORRECTNESS NOTE 2 — the jax 0.9 manual-region bug with
-    tensor-sharded weights)."""
+    """True when tensor>1 AND the custom_partitioning kernel path is
+    disabled (GGT_TP_KERNELS=0): kernels then fall back to plain XLA.
+    shard_map is NEVER used under tensor>1 (module CORRECTNESS NOTE 2 —
+    the jax 0.9 manual-region bug with tensor-sharded weights)."""
     _, tp = _counts(mesh)
-    if tp > 1:
+    if tp > 1 and os.environ.get("GGT_TP_KERNELS", "1") == "0":
         _warn_once(
             f"tp:{tp}",
-            f"tensor={tp} > 1: Pallas kernels fall back to the XLA path "
-            "(GSPMD-partitioned). jax 0.9 corrupts gradients around any "
-            "shard_map region when tensor-sharded weights exist in the "
-            "graph (see kernel_sharding module docstring, note 2).",
+            f"tensor={tp} > 1 with GGT_TP_KERNELS=0: Pallas kernels fall "
+            "back to the XLA path (GSPMD-partitioned).",
         )
         return True
     return False
+
+
+def _use_cp(mesh) -> bool:
+    """tensor>1 meshes run kernels via custom_partitioning (no manual
+    regions — see module note 2)."""
+    _, tp = _counts(mesh)
+    return tp > 1
+
+
+# ---------------------------------------------------------------------------
+# custom_partitioning kernel path (tensor>1 meshes)
+# ---------------------------------------------------------------------------
+ALL_AXES = ("data", "fsdp", "seq", "tensor")
+
+
+def _cp_wrap(fn, n_args, arg_spec_fn, out_spec_fn, rule: str):
+    """Wrap a forward-only kernel call in custom_partitioning: the op
+    becomes a first-class partitioned HLO in GSPMD AUTO mode (no manual
+    region). arg_spec_fn/out_spec_fn(mesh) return PartitionSpecs; `rule`
+    is the Shardy einsum-like propagation rule."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding
+
+    cp = custom_partitioning(fn)
+
+    def _infer(mesh, arg_infos, result_infos):
+        outs = out_spec_fn(mesh)
+        if isinstance(outs, tuple):
+            return tuple(NamedSharding(mesh, s) for s in outs)
+        return NamedSharding(mesh, outs)
+
+    def _partition(mesh, arg_infos, result_infos):
+        args = tuple(NamedSharding(mesh, s) for s in arg_spec_fn(mesh))
+        outs = out_spec_fn(mesh)
+        if isinstance(outs, tuple):
+            res = tuple(NamedSharding(mesh, s) for s in outs)
+        else:
+            res = NamedSharding(mesh, outs)
+        return mesh, fn, res, args
+
+    cp.def_partition(
+        infer_sharding_from_operands=_infer, partition=_partition,
+        sharding_rule=rule,
+    )
+    return cp
+
+
+@functools.lru_cache(maxsize=8)
+def _cp_mlp_fn(act: str):
+    """fused_mlp for tensor>1 meshes: the FORWARD Pallas kernel partitions
+    its token dim over EVERY mesh axis (weights gathered per shard); the
+    backward is the kernel's plain-XLA adjoint, which GSPMD partitions
+    natively (tensor-sharded weight grads included)."""
+    from ..ops import mlp as M
+
+    kern = _cp_wrap(
+        lambda x, wg, wu, wd: M._mlp_fwd_kernel_call(x, wg, wu, wd, act),
+        4,
+        lambda mesh: (P(ALL_AXES, None), P(None, None), P(None, None),
+                      P(None, None)),
+        lambda mesh: P(ALL_AXES, None),
+        "n a, b c, e f, g i -> n j",
+    )
+
+    @jax.custom_vjp
+    def f(x, wg, wu, wd):
+        dt = x.dtype
+        return kern(x, wg.astype(dt), wu.astype(dt), wd.astype(dt))
+
+    f.defvjp(
+        lambda x, wg, wu, wd: (f(x, wg, wu, wd), (x, wg, wu, wd)),
+        lambda res, g: M._fused_mlp_bwd(act, res, g),
+    )
+    return f
+
+
+@functools.lru_cache(maxsize=8)
+def _cp_norm_mlp_fn(eps: float, act: str):
+    """fused_norm_mlp for tensor>1 meshes (same structure as _cp_mlp_fn)."""
+    from ..ops import mlp as M
+
+    kern = _cp_wrap(
+        lambda x, wn, wg, wu, wd: M._norm_mlp_call(x, wn, wg, wu, wd, eps, act),
+        5,
+        lambda mesh: (P(ALL_AXES, None), P(None), P(None, None),
+                      P(None, None), P(None, None)),
+        lambda mesh: P(ALL_AXES, None),
+        "n a, b, c e, f g, i j -> n k",
+    )
+
+    @jax.custom_vjp
+    def f(x, wn, wg, wu, wd):
+        dt = x.dtype
+        return kern(
+            x, wn.astype(jnp.float32), wg.astype(dt), wu.astype(dt),
+            wd.astype(dt),
+        )
+
+    f.defvjp(
+        lambda x, wn, wg, wu, wd: (f(x, wn, wg, wu, wd), (x, wn, wg, wu, wd)),
+        lambda res, g: M._fused_norm_mlp_bwd(eps, act, res, g),
+    )
+    return f
 
 
 @functools.lru_cache(maxsize=64)
@@ -193,17 +303,19 @@ def mlp(x, wg, wu, wd, act: str):
     mesh = kernel_mesh()
     if mesh is None:
         return fused_mlp(x, wg, wu, wd, act)
-    dp, _ = _counts(mesh)
+    dp, tp = _counts(mesh)
     n = x.shape[0]
     if _tp_fallback(mesh):
         return xla_mlp(x, wg, wu, wd, act)
-    if n % dp:
+    if n % (dp * tp):
         _warn_once(
-            f"mlp:{n}:{dp}",
-            f"fused MLP kernel: tokens {n} %% {dp} != 0"
+            f"mlp:{n}:{dp}x{tp}",
+            f"fused MLP kernel: tokens {n} %% {dp * tp} != 0"
             " — falling back to the XLA MLP (GSPMD-partitioned)",
         )
         return xla_mlp(x, wg, wu, wd, act)
+    if _use_cp(mesh):
+        return _cp_mlp_fn(act)(x, wg, wu, wd)
     return _mlp_fn(mesh, act)(x, wg, wu, wd)
 
 
@@ -257,18 +369,20 @@ def norm_mlp(x, wn, wg, wu, wd, eps: float, act: str):
     mesh = kernel_mesh()
     if mesh is None:
         return fused_norm_mlp(x, wn, wg, wu, wd, eps, act)
-    dp, _ = _counts(mesh)
+    dp, tp = _counts(mesh)
     n = x.shape[0]
-    if _tp_fallback(mesh) or n % dp:
-        if n % dp:
+    if _tp_fallback(mesh) or n % (dp * tp):
+        if n % (dp * tp):
             _warn_once(
-                f"norm_mlp:{n}:{dp}",
-                f"norm-fused MLP kernel: tokens {n} %% {dp} != 0"
+                f"norm_mlp:{n}:{dp}x{tp}",
+                f"norm-fused MLP kernel: tokens {n} %% {dp * tp} != 0"
                 " — falling back to the XLA norm+MLP (GSPMD-partitioned)",
             )
         from ..models.modeling import rms_norm
 
         return x + xla_mlp(rms_norm(x, wn, eps), wg, wu, wd, act)
+    if _use_cp(mesh):
+        return _cp_norm_mlp_fn(float(eps), act)(x, wn, wg, wu, wd)
     return _norm_mlp_fn(mesh, float(eps), act)(x, wn, wg, wu, wd)
 
 
@@ -479,8 +593,9 @@ def flash_attention(
         )
     s = dict(mesh.shape)
     bdp = s.get("data", 1) * s.get("fsdp", 1)
+    tp = s.get("tensor", 1)
     b, p, h, dh = q.shape
-    if _tp_fallback(mesh) or b % bdp or s.get("seq", 1) > 1:
+    if _tp_fallback(mesh) or tp > 1 or b % bdp or s.get("seq", 1) > 1:
         from ..ops.attention import xla_attention
 
         if b % bdp or s.get("seq", 1) > 1:
@@ -490,6 +605,19 @@ def flash_attention(
                 f"{s.get('seq', 1)} > 1 — falling back to XLA attention"
                 " (GSPMD-partitioned); use attn_impl='ring' for sequence"
                 " parallelism",
+            )
+        elif tp > 1:
+            # the flash BACKWARD is itself a Pallas kernel, and a
+            # custom_partitioning call inside a custom_vjp backward rule
+            # re-triggers the jax 0.9 gradient-corruption bug (module note
+            # 2; isolated by structural ablation — forward-only cp is
+            # clean, which is why the MLP kernels keep running under tp).
+            _warn_once(
+                f"flash-tp:{tp}",
+                f"tensor={tp} > 1: flash attention falls back to XLA "
+                "(GSPMD-partitioned) — its Pallas backward cannot ride "
+                "custom_partitioning inside a custom_vjp bwd on this jax "
+                "(kernel_sharding module docstring, note 2)",
             )
         if rope is not None:
             from ..models.rope import apply_rope

@@ -212,16 +212,58 @@ def test_non_divisible_falls_back_to_xla():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
-def test_tensor_parallel_falls_back_loudly():
-    """tensor>1 must warn once and route to XLA (module docstring note 2)."""
+def test_tensor_parallel_runs_cp_mlp():
+    """tensor>1: the MLP kernels keep running via custom_partitioning
+    (module docstring note 2) — correct fwd AND grads, no warning;
+    GGT_TP_KERNELS=0 forces the loud XLA fallback."""
     from graphgpt_tpu.ops.mlp import xla_mlp
+
+    n, d, dff = 64, 32, 128
+    x, wg, wu, wd = _rand(0, n, d), _rand(1, d, dff), _rand(2, d, dff), _rand(3, dff, d)
+    ref, ref_grads = jax.value_and_grad(
+        lambda *a: jnp.sum(xla_mlp(*a, "gelu") ** 2), argnums=(0, 1, 2, 3)
+    )(x, wg, wu, wd)
+    with _mesh(data=2, fsdp=2, tensor=2):
+        got, got_grads = jax.jit(
+            jax.value_and_grad(
+                lambda *a: jnp.sum(ks.mlp(*a, "gelu") ** 2), argnums=(0, 1, 2, 3)
+            )
+        )(x, wg, wu, wd)
+    assert np.allclose(float(got), float(ref), rtol=1e-5)
+    assert _worst(ref_grads, got_grads) < 2e-4
+
+
+def test_tensor_parallel_flash_falls_back_loudly():
+    """tensor>1 flash: a cp op inside a custom_vjp bwd re-triggers the jax
+    bug, so attention routes to XLA there — loudly."""
+    from graphgpt_tpu.ops.attention import xla_attention
+
+    b, p, h, dh = 8, 64, 4, 16
+    q, k, v = _rand(0, b, p, h, dh), _rand(1, b, p, h, dh), _rand(2, b, p, h, dh)
+    seg = jnp.ones((b, p), jnp.int32)
+    ref = xla_attention(q, k, v, seg)
+    ks._warned.clear()
+    with _mesh(data=2, fsdp=2, tensor=2), pytest.warns(UserWarning, match="tensor=2"):
+        got = jax.jit(lambda q, k, v: ks.flash_attention(q, k, v, seg))(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_tp_kernels_env_escape_hatch():
+    from graphgpt_tpu.ops.mlp import xla_mlp
+    import os
 
     n, d, dff = 64, 32, 128
     x, wg, wu, wd = _rand(0, n, d), _rand(1, d, dff), _rand(2, d, dff), _rand(3, dff, d)
     ref = xla_mlp(x, wg, wu, wd, "gelu")
     ks._warned.clear()
-    with _mesh(data=2, fsdp=2, tensor=2), pytest.warns(UserWarning, match="tensor=2"):
-        got = jax.jit(lambda *a: ks.mlp(*a, "gelu"))(x, wg, wu, wd)
+    os.environ["GGT_TP_KERNELS"] = "0"
+    try:
+        with _mesh(data=2, fsdp=2, tensor=2), pytest.warns(
+            UserWarning, match="GGT_TP_KERNELS"
+        ):
+            got = jax.jit(lambda *a: ks.mlp(*a, "gelu"))(x, wg, wu, wd)
+    finally:
+        os.environ.pop("GGT_TP_KERNELS", None)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
@@ -337,8 +379,11 @@ def test_full_model_sharded_kernels_match_unsharded_xla():
     _full_model_compare(_mesh())
 
 
-def test_full_model_tensor_mesh_falls_back_correctly():
-    """dp x fsdp x tp mesh: kernels route to XLA; numerics still exact."""
+def test_full_model_tensor_mesh_cp_kernels_correct():
+    """dp x fsdp x tp mesh: the MLP kernels run via custom_partitioning
+    and flash falls back to XLA — full-model loss AND grads still match
+    the unsharded reference (verified at flagship 768-dims too in the
+    round-5 drills)."""
     ks._warned.clear()
     _full_model_compare(_mesh(data=2, fsdp=2, tensor=2))
 
