@@ -419,10 +419,11 @@ def backbone_apply(
             and cfg.mlp_kernel == "on"
         ):
             # pre-norm fused into the q/k/v projections (ops/mlp.py).
-            # Measured SLOWER on v5e (100.2k vs 106.1k tokens/s): unlike the
-            # MLP case, XLA already fuses the three projections with the
-            # rope/reshape consumers, and the kernel breaks that; knob kept
-            # for other chip generations.
+            # Round-5 re-measure after the in-kernel rope fold: 114.2k
+            # once vs 113.5/113.8k repeats (within run-to-run noise) on
+            # the synthetic step — no robust win, and the extra kernel's
+            # VMEM footprint risks the round-4 input-overlap regression in
+            # the real pipeline. Stays off; knob retained.
             from ..parallel.kernel_sharding import norm_qkv
 
             q2, k2, v2 = norm_qkv(
