@@ -125,6 +125,17 @@ def _mlp_fwd_kernel_call(x, wg, wu, wd, act: str, bt: int = 0):
     )(x, wg, wu, wd)
 
 
+def _dw_ptype():
+    """preferred_element_type for the weight-gradient GEMMs. Default f32
+    (exact master-precision gradients); GGT_DW_BF16=1 runs them at the
+    bf16 MXU rate with one bf16 rounding before the f32 cast — the
+    reference trains with fp16 gradients under DeepSpeed, so this is
+    reference-comparable precision (measured knob, see PERF.md)."""
+    import os as _os
+
+    return jnp.bfloat16 if _os.environ.get("GGT_DW_BF16", "0") == "1" else jnp.float32
+
+
 def _act_and_grad_f32(name: str):
     act = _act_f32(name)
     if name == "gelu":
@@ -164,12 +175,12 @@ def _fused_mlp_bwd(act, res, dout):
     a = act_f(xg.astype(jnp.float32)).astype(dt)
     g = a * xu
     dg = (dout @ wd_c.T).astype(dt)
-    dwd = jnp.einsum("nf,nd->fd", g, dout, preferred_element_type=jnp.float32)
+    dwd = jnp.einsum("nf,nd->fd", g, dout, preferred_element_type=_dw_ptype())
     da = dg * xu
     dxu = dg * a
     dxg = (da.astype(jnp.float32) * act_g(xg.astype(jnp.float32))).astype(dt)
-    dwg = jnp.einsum("nd,nf->df", x, dxg, preferred_element_type=jnp.float32)
-    dwu = jnp.einsum("nd,nf->df", x, dxu, preferred_element_type=jnp.float32)
+    dwg = jnp.einsum("nd,nf->df", x, dxg, preferred_element_type=_dw_ptype())
+    dwu = jnp.einsum("nd,nf->df", x, dxu, preferred_element_type=_dw_ptype())
     dx = (dxg @ wg_c.T + dxu @ wu_c.T).astype(dt)
     return (
         dx,
@@ -270,12 +281,12 @@ def _fused_norm_mlp_bwd(eps, act, res, dout):
     # MLP adjoint down to dhpre
     do = dout.astype(dt)
     dg = (do @ wd_c.T).astype(dt)
-    dwd = jnp.einsum("nf,nd->fd", g, do, preferred_element_type=jnp.float32)
+    dwd = jnp.einsum("nf,nd->fd", g, do, preferred_element_type=_dw_ptype())
     da = dg * xu
     dxu = dg * a
     dxg = (da.astype(jnp.float32) * act_g(xg.astype(jnp.float32))).astype(dt)
-    dwg = jnp.einsum("nd,nf->df", hpre, dxg, preferred_element_type=jnp.float32)
-    dwu = jnp.einsum("nd,nf->df", hpre, dxu, preferred_element_type=jnp.float32)
+    dwg = jnp.einsum("nd,nf->df", hpre, dxg, preferred_element_type=_dw_ptype())
+    dwu = jnp.einsum("nd,nf->df", hpre, dxu, preferred_element_type=_dw_ptype())
     dhpre = (dxg @ wg_c.T + dxu @ wu_c.T).astype(jnp.float32)
     # rmsnorm adjoint + residual passthrough
     dn = dhpre * wn32

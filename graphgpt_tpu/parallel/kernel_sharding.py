@@ -175,7 +175,7 @@ def _use_cp(mesh) -> bool:
 ALL_AXES = ("data", "fsdp", "seq", "tensor")
 
 
-def _cp_wrap(fn, n_args, arg_spec_fn, out_spec_fn, rule: str):
+def _cp_wrap(fn, arg_spec_fn, out_spec_fn, rule: str):
     """Wrap a forward-only kernel call in custom_partitioning: the op
     becomes a first-class partitioned HLO in GSPMD AUTO mode (no manual
     region). arg_spec_fn/out_spec_fn(mesh) return PartitionSpecs; `rule`
@@ -217,7 +217,6 @@ def _cp_mlp_fn(act: str):
 
     kern = _cp_wrap(
         lambda x, wg, wu, wd: M._mlp_fwd_kernel_call(x, wg, wu, wd, act),
-        4,
         lambda mesh: (P(ALL_AXES, None), P(None, None), P(None, None),
                       P(None, None)),
         lambda mesh: P(ALL_AXES, None),
@@ -243,7 +242,6 @@ def _cp_norm_mlp_fn(eps: float, act: str):
 
     kern = _cp_wrap(
         lambda x, wn, wg, wu, wd: M._norm_mlp_call(x, wn, wg, wu, wd, eps, act),
-        5,
         lambda mesh: (P(ALL_AXES, None), P(None), P(None, None),
                       P(None, None), P(None, None)),
         lambda mesh: P(ALL_AXES, None),
