@@ -58,13 +58,12 @@ _BQ_TARGET = int(os.environ.get("GGT_FLASH_BQ", "512"))
 
 
 def _interpret() -> bool:
-    """Generic Pallas interpreter mode (pure-JAX evaluation, CPU-safe and
-    remat/shard_map-compatible, unlike pltpu.force_tpu_interpret_mode whose
-    IO-callback effects break jax.checkpoint): lets the multichip dryrun /
-    CPU tests run the REAL kernel dispatch on a virtual mesh."""
-    import os as _os
+    """Generic Pallas interpreter mode — single source of truth lives in
+    parallel.kernel_sharding.interpret_forced (lazy import: that module
+    imports ops lazily, so a top-level import here would be circular)."""
+    from ..parallel.kernel_sharding import interpret_forced
 
-    return _os.environ.get("GGT_PALLAS_INTERPRET", "0") == "1"
+    return interpret_forced()
 
 
 def _pick_block(p: int, target: int = 0) -> int:

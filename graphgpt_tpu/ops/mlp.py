@@ -42,10 +42,12 @@ def _interpret() -> bool:
     """Generic Pallas interpreter mode (pure-JAX evaluation, CPU-safe and
     remat/shard_map-compatible, unlike pltpu.force_tpu_interpret_mode whose
     IO-callback effects break jax.checkpoint): lets the multichip dryrun /
-    CPU tests run the REAL kernel dispatch on a virtual mesh."""
-    import os as _os
+    CPU tests run the REAL kernel dispatch on a virtual mesh. Single
+    source of truth: parallel.kernel_sharding.interpret_forced (lazy
+    import — that module imports ops lazily, avoiding a cycle)."""
+    from ..parallel.kernel_sharding import interpret_forced
 
-    return _os.environ.get("GGT_PALLAS_INTERPRET", "0") == "1"
+    return interpret_forced()
 
 
 def _erf_f32(x):

@@ -345,9 +345,19 @@ class EdgePartitionedCorpus:
             dev_by_proc.setdefault(dev.process_index, dev)
         mesh = Mesh(np.asarray([dev_by_proc[i] for i in range(s)]), ("shard",))
         sharding = NamedSharding(mesh, P("shard"))
-        buf = jax.make_array_from_process_local_data(
-            sharding, send[None].astype(np.float32)
-        )
+        # dtype-preserving wire format: integer attribute tables ride as
+        # int32 (a float32 round-trip silently corrupts ids > 2^24 — only
+        # halo rows, the worst kind of shard-boundary bug); floats as f32
+        if np.issubdtype(send.dtype, np.integer):
+            if send.size and int(np.abs(send).max()) > np.iinfo(np.int32).max:
+                raise ValueError(
+                    "halo exchange: integer node attributes exceed int32 "
+                    "range — re-encode attribute ids below 2^31"
+                )
+            wire = send[None].astype(np.int32)
+        else:
+            wire = send[None].astype(np.float32)
+        buf = jax.make_array_from_process_local_data(sharding, wire)
 
         def body(b):  # [1, s, cap, F] per device
             return jax.lax.all_to_all(b[0], "shard", 0, 0, tiled=True)[None]
@@ -561,6 +571,23 @@ def shard_ego_node_dataset_streaming(
             target=corpus.exchange_halo_features_multihost, daemon=True
         )
         handle.start()
+    elif num_shards > 1:
+        if jax.process_count() > 1:
+            raise ValueError(
+                f"streaming partitioned corpus: {jax.process_count()} "
+                f"processes but {num_shards} shards — the multihost halo "
+                "exchange needs exactly one process per shard"
+            )
+        # single-process construction (tests / offline prep): no exchange
+        # path exists — fill halo rows straight from the feature source
+        # instead of leaving them silently zero (which would train
+        # boundary-crossing subgraphs on zeroed neighbour features)
+        sh = corpus.shards[shard_id]
+        halo_ids = sh.global_nodes[sh.num_owned :]
+        if sh.node_attr is not None and len(halo_ids):
+            sh.node_attr[sh.num_owned :] = np.asarray(
+                owned_feature_fn(halo_ids)
+            )
     shard = corpus.shards[shard_id]
     owned = shard.global_nodes[: shard.num_owned]
     sample_idx = np.asarray(sample_idx, np.int64)

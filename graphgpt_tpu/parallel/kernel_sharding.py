@@ -427,9 +427,12 @@ def norm_qkv(x, wn, wq, wk, wv, eps: float):
     mesh = kernel_mesh()
     if mesh is None:
         return fused_norm_qkv(x, wn, wq, wk, wv, eps)
-    dp, _ = _counts(mesh)
+    dp, tp = _counts(mesh)
     n = x.shape[0]
-    if _tp_fallback(mesh) or n % dp:
+    # tensor>1: no cp variant exists for the qkv kernel, and a shard_map
+    # manual region here would trigger the jax gradient-corruption bug
+    # (module note 2) — always take the XLA path, like flash attention.
+    if tp > 1 or n % dp:
         if n % dp:
             _warn_once(
                 f"norm_qkv:{n}:{dp}",
@@ -455,8 +458,11 @@ def rmsnorm_bwd(x, g, w, eps: float):
     mesh = kernel_mesh()
     if mesh is None:
         return rmsnorm_bwd_pallas(x, g, w, eps)
-    dp, _ = _counts(mesh)
-    if x.shape[0] % dp:
+    dp, tp = _counts(mesh)
+    # tensor>1: this shard_map would sit INSIDE a custom_vjp backward —
+    # the exact position module note 2 documents as re-triggering the
+    # jax manual-region gradient corruption. Caller falls back to XLA.
+    if tp > 1 or x.shape[0] % dp:
         return None
 
     def body(xs, gs, ws):

@@ -133,7 +133,15 @@ class FinetunePipeline:
             # smallest shard so every process issues identical collectives
             self._train_cap = mesh_lib.cross_host_min_int(len(self.train_idx))
 
-        steps_per_epoch = max(len(self.train_idx) // tcfg.batch_size, 1)
+        if self._data_is_host_local:
+            # partitioned corpus: train_idx is a host-LOCAL disjoint shard —
+            # the LR schedule must be identical on every process, so derive
+            # it from the cross-host min cap (what the epoch loop actually
+            # runs) at the PER-HOST batch size, not the host-local length
+            per_host_bs = max(tcfg.batch_size // jax.process_count(), 1)
+            steps_per_epoch = max(self._train_cap // per_host_bs, 1)
+        else:
+            steps_per_epoch = max(len(self.train_idx) // tcfg.batch_size, 1)
         epochs = tcfg.schedule.epochs or 10
         self.total_steps = steps_per_epoch * epochs
         if tcfg.schedule.warmup_num_steps:
@@ -259,9 +267,19 @@ class FinetunePipeline:
             # past the cap is dropped (a replicated tail is impossible when
             # no host can see another's rows)
             cap = mesh_lib.cross_host_min_int(len(idx))
-            n = max(cap - cap % bs, min(bs, cap))
+            if cap == 0:
+                return  # some shard has no rows: skip everywhere, equally
+            if cap < bs:
+                # below one batch: repeat rows to a full batch (drop_last
+                # would otherwise discard the only buffer — zero eval
+                # batches — and a partial batch can't shard over the mesh);
+                # the duplicated rows slightly re-weight metrics only in
+                # this degenerate tiny-shard case
+                sel = np.resize(idx[:cap], bs)
+            else:
+                sel = idx[: cap - cap % bs]
             for b in self.loader.epoch_batches(
-                idx[:n], epoch=0, fixed_length=flen, batch_size=bs
+                sel, epoch=0, fixed_length=flen, batch_size=bs
             ):
                 yield b, True
             return
@@ -549,7 +567,19 @@ class FinetunePipeline:
                     # cross-host minimum cap
                     per = self.loader.batch_size
                     cap = self._train_cap
-                    idx = idx[: max(cap - cap % per, min(per, cap))]
+                    if cap == 0:
+                        raise ValueError(
+                            "partitioned corpus: smallest host shard has 0 "
+                            "train rows — repartition with more balance"
+                        )
+                    if cap < per:
+                        # smallest shard below one batch: repeat rows up to
+                        # a full batch (the loader's drop_last would discard
+                        # a partial buffer, yielding ZERO train steps; a
+                        # partial batch also couldn't shard over the mesh)
+                        idx = np.resize(idx[:cap], per)
+                    else:
+                        idx = idx[: cap - cap % per]
                 elif pc > 1:
                     per = self.loader.batch_size * pc
                     idx = idx[: len(idx) - len(idx) % per][pi::pc]

@@ -355,15 +355,19 @@ class PretrainPipeline:
         idx = np.random.default_rng((self.cfg.training.seed, epoch)).permutation(
             self.train_idx
         )
-        if self.cfg.training.task_type == "pretrain-cl":
+        cl_pairs = self.cfg.training.task_type == "pretrain-cl"
+        if cl_pairs:
             # two adjacent independent views per sample (reference
             # get_cl_sampler, loader_utils.py:308-315)
             idx = np.repeat(idx, 2)
         if self._data_is_host_local:
             # partitioned corpus: self.train_idx is ALREADY this host's
             # disjoint shard — no striding; equal step counts via the
-            # cross-host minimum cap
-            idx = idx[: self._train_cap]
+            # cross-host minimum cap. The cap is in SAMPLE units — double
+            # it on the repeated CL index so a view pair is never split
+            # (an odd row cap would pair a dangling view with an
+            # unrelated sample's first view)
+            idx = idx[: (2 * self._train_cap if cl_pairs else self._train_cap)]
         else:
             # per-host shard of a replicated index space
             idx = idx[jax.process_index() :: jax.process_count()]
@@ -507,8 +511,14 @@ class PretrainPipeline:
             cap = min(self._valid_cap, len(vidx))
             if cap == 0:
                 return  # some shard has no valid rows: skip eval everywhere
-            n_rows = max(cap - cap % bs, min(bs, cap))
-            local = vidx[:n_rows]
+            if cap < bs:
+                # below one batch: repeat rows to a full batch — the
+                # loader's drop_last would discard the sole partial buffer
+                # (zero eval batches), and a partial batch couldn't shard
+                # over the mesh
+                local = np.resize(vidx[:cap], bs)
+            else:
+                local = vidx[: cap - cap % bs]
         else:
             k = len(vidx) // (bs * pc)
             if k == 0:
@@ -531,7 +541,14 @@ class PretrainPipeline:
                 name = "/".join(str(getattr(p, "key", p)) for p in path)
                 self.tb.add_histogram(f"params/{name}", np.asarray(leaf), step)
             self.tb.flush()
-        if self.cfg.training.do_valid and len(self.valid_idx) > 0:
+        # the gate must be HOST-UNIFORM: with a partitioned corpus
+        # len(valid_idx) is host-local, and a host whose shard yielded 0
+        # valid rows would skip the block while the others enter it and
+        # wait forever in cross_host_mean_scalar's allgather
+        n_valid = (
+            self._valid_cap if self._data_is_host_local else len(self.valid_idx)
+        )
+        if self.cfg.training.do_valid and n_valid > 0:
             # full mid-training eval surface at every save point: valid
             # loss, EMA-valid loss, and a generation band sweep — the
             # reference runs all three at steps_per_saving
@@ -756,11 +773,21 @@ class PretrainPipeline:
         results = {}
         for band in range(n_bands):
             lo, hi = band / n_bands, (band + 1) / n_bands
-            results[f"gen_acc@umr_{lo:.1f}-{hi:.1f}"] = float(
+            results[f"gen_acc@umr_{_band_edge(lo)}-{_band_edge(hi)}"] = float(
                 correct[band] / max(masked_n[band], 1)
             )
         log_line(f"generation eval ({len(idx)} samples/host): {results}")
         return results
+
+
+def _band_edge(v: float) -> str:
+    """Generation-band CSV label for a mask-ratio edge: one decimal when
+    exact (keeps historical keys for n_bands that divide 10), else two —
+    a {:.1f} alone mislabels e.g. the n_bands=4 edges 0.25/0.75 as
+    0.2/0.8, and two different n_bands runs could then produce
+    identically-named columns for different mask ranges."""
+    s = f"{v:.1f}"
+    return s if abs(float(s) - v) < 1e-9 else f"{v:.2f}"
 
 
 def smoke_test():

@@ -448,6 +448,14 @@ def test_streaming_ego_dataset_wiring():
     g = local[0]
     assert g.num_nodes >= 1
     assert g.node_attr is not None
+    # single-process construction must NOT leave halo feature rows zero —
+    # they're filled straight from the feature source (no exchange exists)
+    shard = corpus.shards[0]
+    halo_ids = shard.global_nodes[shard.num_owned :]
+    if len(halo_ids):
+        np.testing.assert_array_equal(
+            shard.node_attr[shard.num_owned :], feature_fn(halo_ids)
+        )
 
 
 _MH_STREAM_WORKER = r"""
@@ -481,7 +489,11 @@ def stream():
         yield np.concatenate([e, e[::-1]], axis=1)
 
 def feature_fn(ids):
-    return ((np.asarray(ids)[:, None] + np.arange(F)[None, :]) % 97).astype(np.int32)
+    # offset above 2^24: a float32 wire format would corrupt these ids
+    # (f32 has 24 mantissa bits), so this doubles as a dtype-preservation
+    # check on the all-to-all exchange
+    return (((np.asarray(ids)[:, None] + np.arange(F)[None, :]) % 97)
+            + (1 << 26) + 3).astype(np.int32)
 
 me = int(sys.argv[2])
 corpus = StreamingPartitionedCorpus(

@@ -197,6 +197,61 @@ def test_sharded_rmsnorm_bwd_matches_xla():
     assert _worst(ref_grads, got_grads) < 2e-4
 
 
+def test_norm_qkv_tensor_mesh_avoids_shard_map():
+    """tensor>1: norm_qkv must take the XLA path — a shard_map manual
+    region here (no cp variant exists for the qkv kernel) would trigger
+    the jax gradient-corruption bug (kernel_sharding module note 2)."""
+    from graphgpt_tpu.models.modeling import rms_norm
+
+    n, d = 64, 32
+    x, wn = _rand(0, n, d), jnp.abs(_rand(4, d)) + 0.5
+    wq, wk, wv = _rand(1, d, d), _rand(2, d, d), _rand(3, d, d)
+
+    def ref_fn(x, wn, wq, wk, wv):
+        h = rms_norm(x, wn, 1e-6)
+        return jnp.sum((h @ wq) ** 2) + jnp.sum((h @ wk) ** 2) + jnp.sum((h @ wv) ** 2)
+
+    ref, ref_grads = jax.value_and_grad(ref_fn, argnums=(0, 1, 2, 3, 4))(
+        x, wn, wq, wk, wv
+    )
+    with _mesh(data=2, fsdp=2, tensor=2):
+        def got_fn(x, wn, wq, wk, wv):
+            q, k, v = ks.norm_qkv(x, wn, wq, wk, wv, 1e-6)
+            return jnp.sum(q**2) + jnp.sum(k**2) + jnp.sum(v**2)
+
+        got, got_grads = jax.jit(
+            jax.value_and_grad(got_fn, argnums=(0, 1, 2, 3, 4))
+        )(x, wn, wq, wk, wv)
+    assert np.allclose(float(got), float(ref), rtol=1e-5)
+    assert _worst(ref_grads, got_grads) < 2e-4
+
+
+def test_rmsnorm_bwd_tensor_mesh_returns_none():
+    """tensor>1: rmsnorm_bwd would place a shard_map INSIDE a custom_vjp
+    backward — the exact corrupting position of module note 2 — so it must
+    decline (None) and the caller's XLA adjoint must stay grad-exact."""
+    from graphgpt_tpu.models import modeling
+
+    n, d = 64, 32
+    x, w = _rand(0, n, d), jnp.abs(_rand(1, d)) + 0.5
+    g = _rand(2, n, d)
+
+    def ref_fn(x, w):
+        return jnp.sum(modeling._rms_norm_ref(x, w, 1e-6) ** 2)
+
+    ref, ref_grads = jax.value_and_grad(ref_fn, argnums=(0, 1))(x, w)
+    with _mesh(data=2, fsdp=2, tensor=2):
+        assert ks.rmsnorm_bwd(x, g, w, 1e-6) is None
+        got, got_grads = jax.jit(
+            jax.value_and_grad(
+                lambda x, w: jnp.sum(modeling.rms_norm(x, w, 1e-6, True) ** 2),
+                argnums=(0, 1),
+            )
+        )(x, w)
+    assert np.allclose(float(got), float(ref), rtol=1e-5)
+    assert _worst(ref_grads, got_grads) < 2e-4
+
+
 # ---------------------------------------------------------------------------
 # Fallbacks
 # ---------------------------------------------------------------------------

@@ -370,3 +370,19 @@ def test_pt_mid_training_eval_surface(tmp_path):
     for k in band_cols:
         v = float(last[k])
         assert 0.0 <= v <= 1.0
+
+
+def test_band_edge_labels_exact():
+    """{:.1f}-only formatting mislabelled non-divisor-of-10 band edges
+    (n_bands=4: 0.25 -> '0.2'); the helper keeps one decimal only when
+    exact so historical n_bands=10 keys are unchanged."""
+    from graphgpt_tpu.training.pipeline import _band_edge
+
+    assert _band_edge(0.0) == "0.0"
+    assert _band_edge(0.5) == "0.5"
+    assert _band_edge(1.0) == "1.0"
+    assert _band_edge(0.25) == "0.25"
+    assert _band_edge(0.75) == "0.75"
+    # n_bands=10 edges keep their single-decimal historical form
+    for b in range(10):
+        assert _band_edge(b / 10) == f"{b / 10:.1f}"
