@@ -28,6 +28,28 @@ from ..data.partition import bfs_partition
 from ..data.sampling import build_csr_directed
 
 
+class _PropagatingThread(threading.Thread):
+    """Thread whose join() re-raises any exception from the target.
+
+    Every background halo-exchange thread rides this: a plain daemon
+    thread swallows exceptions, so a failure (e.g. the int32-overflow
+    guard) would leave halo rows silently zero — the exact corruption
+    class the guards exist to prevent — while the caller's join()
+    reports success."""
+
+    def run(self):
+        self._exc = None
+        try:
+            super().run()
+        except BaseException as e:  # re-raised at join()
+            self._exc = e
+
+    def join(self, timeout=None):
+        super().join(timeout)
+        if getattr(self, "_exc", None) is not None:
+            raise self._exc
+
+
 class ShardGraph:
     """One host's shard: owned + halo nodes, locally re-indexed subgraph."""
 
@@ -314,6 +336,19 @@ class EdgePartitionedCorpus:
         shard = self.shards[me]
         if shard.node_attr is None:
             return
+        # int32-range check BEFORE the first collective: raising after the
+        # allgathers would strand peers inside the all_to_all (each host
+        # checks its own owned rows — the only rows it will ever send)
+        own_rows = shard.node_attr[: shard.num_owned]
+        if (
+            np.issubdtype(own_rows.dtype, np.integer)
+            and own_rows.size
+            and int(np.abs(own_rows).max()) > np.iinfo(np.int32).max
+        ):
+            raise ValueError(
+                "halo exchange: integer node attributes exceed int32 range "
+                "— re-encode attribute ids below 2^31"
+            )
         feat_dim = shard.node_attr.shape[1]
         # 1. my halo requests grouped by owner (argsort + bincount)
         halo = shard.halo_nodes_global
@@ -378,7 +413,7 @@ class EdgePartitionedCorpus:
     def prefetch_exchange(self, mesh=None):
         """Overlap the halo exchange with host-side tokenization: returns a
         join() handle while the exchange proceeds in the background."""
-        t = threading.Thread(
+        t = _PropagatingThread(
             target=self.exchange_halo_features_device, kwargs={"mesh": mesh}, daemon=True
         )
         t.start()
@@ -567,7 +602,7 @@ def shard_ego_node_dataset_streaming(
 
     handle = None
     if num_shards > 1 and jax.process_count() == num_shards:
-        handle = threading.Thread(
+        handle = _PropagatingThread(
             target=corpus.exchange_halo_features_multihost, daemon=True
         )
         handle.start()
@@ -641,7 +676,7 @@ def shard_ego_node_dataset(
             shard_id=shard_id,
             owned_feature_fn=owned_feature_fn,
         )
-        handle = threading.Thread(
+        handle = _PropagatingThread(
             target=corpus.exchange_halo_features_multihost, daemon=True
         )
         handle.start()
@@ -719,7 +754,7 @@ def shard_ego_edge_dataset(
             shard_id=shard_id,
             owned_feature_fn=owned_feature_fn,
         )
-        handle = threading.Thread(
+        handle = _PropagatingThread(
             target=corpus.exchange_halo_features_multihost, daemon=True
         )
         handle.start()

@@ -243,6 +243,24 @@ def cross_host_min_int(value: int) -> int:
     return int(np.min(g))
 
 
+def cap_to_full_batches(idx: np.ndarray, cap: int, bs: int):
+    """Truncate a per-host index set to a cross-host cap in FULL batches.
+
+    Shared by every partitioned-corpus batch site (the same cap logic was
+    previously copy-pasted with drift between them): returns None when
+    cap <= 0 — the cap is a cross-host MIN, so every process sees the
+    same None and skips uniformly; repeats rows up to one full batch when
+    0 < cap < bs (the loader's drop_last would otherwise discard the sole
+    partial buffer — zero batches, silently — and a partial batch can't
+    shard over the mesh). Cyclic np.resize repetition keeps adjacent
+    pairs (pretrain-cl views) adjacent when cap is even."""
+    if cap <= 0:
+        return None
+    if cap < bs:
+        return np.resize(np.asarray(idx)[:cap], bs)
+    return np.asarray(idx)[: cap - cap % bs]
+
+
 def cross_host_mean_scalar(values) -> float:
     """Mean of host-local scalars across all processes (reference
     dist.reduce of eval losses, log_eval_dump_utils.py:284-291)."""

@@ -133,13 +133,16 @@ class FinetunePipeline:
             # smallest shard so every process issues identical collectives
             self._train_cap = mesh_lib.cross_host_min_int(len(self.train_idx))
 
+        # single source for the per-host train batch size: the LR schedule
+        # below and the loader construction must agree or total_steps
+        # silently desyncs from the real optimizer-step count
+        self._per_host_bs = max(tcfg.batch_size // jax.process_count(), 1)
         if self._data_is_host_local:
             # partitioned corpus: train_idx is a host-LOCAL disjoint shard —
             # the LR schedule must be identical on every process, so derive
             # it from the cross-host min cap (what the epoch loop actually
             # runs) at the PER-HOST batch size, not the host-local length
-            per_host_bs = max(tcfg.batch_size // jax.process_count(), 1)
-            steps_per_epoch = max(self._train_cap // per_host_bs, 1)
+            steps_per_epoch = max(self._train_cap // self._per_host_bs, 1)
         else:
             steps_per_epoch = max(len(self.train_idx) // tcfg.batch_size, 1)
         epochs = tcfg.schedule.epochs or 10
@@ -199,7 +202,7 @@ class FinetunePipeline:
         self.loader = GraphTokenLoader(
             self.dataset,
             self.tokenizer,
-            batch_size=max(tcfg.batch_size // jax.process_count(), 1),
+            batch_size=self._per_host_bs,
             mpe=tcfg.max_length,
             pack=False,  # task rows must stay one-graph-per-row
             num_workers=tcfg.num_workers,
@@ -266,18 +269,11 @@ class FinetunePipeline:
             # per process (cross-host min); the up-to-one-batch remainder
             # past the cap is dropped (a replicated tail is impossible when
             # no host can see another's rows)
-            cap = mesh_lib.cross_host_min_int(len(idx))
-            if cap == 0:
+            sel = mesh_lib.cap_to_full_batches(
+                idx, mesh_lib.cross_host_min_int(len(idx)), bs
+            )
+            if sel is None:
                 return  # some shard has no rows: skip everywhere, equally
-            if cap < bs:
-                # below one batch: repeat rows to a full batch (drop_last
-                # would otherwise discard the only buffer — zero eval
-                # batches — and a partial batch can't shard over the mesh);
-                # the duplicated rows slightly re-weight metrics only in
-                # this degenerate tiny-shard case
-                sel = np.resize(idx[:cap], bs)
-            else:
-                sel = idx[: cap - cap % bs]
             for b in self.loader.epoch_batches(
                 sel, epoch=0, fixed_length=flen, batch_size=bs
             ):
@@ -565,21 +561,14 @@ class FinetunePipeline:
                     # partitioned corpus: idx is ALREADY this host's
                     # disjoint shard — no striding; equal steps via the
                     # cross-host minimum cap
-                    per = self.loader.batch_size
-                    cap = self._train_cap
-                    if cap == 0:
+                    if self._train_cap == 0:
                         raise ValueError(
                             "partitioned corpus: smallest host shard has 0 "
                             "train rows — repartition with more balance"
                         )
-                    if cap < per:
-                        # smallest shard below one batch: repeat rows up to
-                        # a full batch (the loader's drop_last would discard
-                        # a partial buffer, yielding ZERO train steps; a
-                        # partial batch also couldn't shard over the mesh)
-                        idx = np.resize(idx[:cap], per)
-                    else:
-                        idx = idx[: cap - cap % per]
+                    idx = mesh_lib.cap_to_full_batches(
+                        idx, self._train_cap, self.loader.batch_size
+                    )
                 elif pc > 1:
                     per = self.loader.batch_size * pc
                     idx = idx[: len(idx) - len(idx) % per][pi::pc]

@@ -356,10 +356,6 @@ class PretrainPipeline:
             self.train_idx
         )
         cl_pairs = self.cfg.training.task_type == "pretrain-cl"
-        if cl_pairs:
-            # two adjacent independent views per sample (reference
-            # get_cl_sampler, loader_utils.py:308-315)
-            idx = np.repeat(idx, 2)
         if self._data_is_host_local:
             # partitioned corpus: self.train_idx is ALREADY this host's
             # disjoint shard — no striding; equal step counts via the
@@ -367,10 +363,34 @@ class PretrainPipeline:
             # it on the repeated CL index so a view pair is never split
             # (an odd row cap would pair a dangling view with an
             # unrelated sample's first view)
-            idx = idx[: (2 * self._train_cap if cl_pairs else self._train_cap)]
+            if cl_pairs:
+                idx = np.repeat(idx, 2)
+            if self._train_cap == 0:
+                raise ValueError(
+                    "partitioned corpus: smallest host shard has 0 train "
+                    "rows — repartition with more balance (zero batches "
+                    "per epoch would loop forever)"
+                )
+            cap = 2 * self._train_cap if cl_pairs else self._train_cap
+            per = self.loader.batch_size
+            if cap < per:
+                # below one batch: repeat rows to a full batch — drop_last
+                # would discard the sole partial buffer (zero train steps,
+                # infinite epoch loop); cyclic resize keeps CL pairs
+                # adjacent since cap is even in that mode
+                idx = np.resize(idx[:cap], per)
+            else:
+                idx = idx[:cap]
         else:
-            # per-host shard of a replicated index space
+            # per-host shard of a replicated index space. Stride BEFORE the
+            # CL repeat: repeat-then-stride hands every host one view of
+            # every pair, mispairing embeds[0::2]/[1::2] in the global
+            # batch (two different samples treated as a positive pair)
             idx = idx[jax.process_index() :: jax.process_count()]
+            if cl_pairs:
+                # two adjacent independent views per sample (reference
+                # get_cl_sampler, loader_utils.py:308-315)
+                idx = np.repeat(idx, 2)
         for batch in self.loader.prefetched(idx, epoch):
             data = dict(batch.data)
             # token count computed host-side BEFORE device_put: reading the
@@ -452,6 +472,7 @@ class PretrainPipeline:
         epoch = self.start_epoch
         with self.mesh:
             while global_step < step_limit:
+                epoch_start_step = global_step
                 for batch in self._device_prefetch(self._device_batches(epoch)):
                     n_tokens = batch.pop("_host_token_count", 0)
                     self.state, metrics = self.train_step(self.state, batch, rng)
@@ -487,6 +508,17 @@ class PretrainPipeline:
                         self._save_and_eval(global_step, epoch)
                     if global_step >= step_limit:
                         break
+                else:
+                    if global_step == epoch_start_step:
+                        # zero batches in a full epoch (e.g. a partitioned
+                        # shard too small to fill one packed batch under
+                        # drop_last): raising beats spinning forever
+                        raise RuntimeError(
+                            "epoch produced no training batches — dataset "
+                            "shard smaller than one (packed) batch; shrink "
+                            "batch_size/max_length or rebalance the "
+                            "partition"
+                        )
                 epoch += 1
         self._save_and_eval(global_step, epoch)
         self.ckpt.wait()
@@ -508,17 +540,11 @@ class PretrainPipeline:
         if self._data_is_host_local:
             # disjoint per-host shards: evaluate own rows; equal eval-step
             # counts on every process via the cross-host minimum cap
-            cap = min(self._valid_cap, len(vidx))
-            if cap == 0:
+            local = mesh_lib.cap_to_full_batches(
+                vidx, min(self._valid_cap, len(vidx)), bs
+            )
+            if local is None:
                 return  # some shard has no valid rows: skip eval everywhere
-            if cap < bs:
-                # below one batch: repeat rows to a full batch — the
-                # loader's drop_last would discard the sole partial buffer
-                # (zero eval batches), and a partial batch couldn't shard
-                # over the mesh
-                local = np.resize(vidx[:cap], bs)
-            else:
-                local = vidx[: cap - cap % bs]
         else:
             k = len(vidx) // (bs * pc)
             if k == 0:
@@ -676,7 +702,13 @@ class PretrainPipeline:
         if pc > 1 and self._data_is_host_local:
             # disjoint per-host shards: own rows, cross-host-equal count
             cap = mesh_lib.cross_host_min_int(len(idx))
-            idx = idx[: max(cap - cap % bs, min(bs, cap))]
+            sel = mesh_lib.cap_to_full_batches(idx, cap, bs)
+            if sel is None:
+                # cap is a cross-host MIN: every process returns here
+                # uniformly (the old formula fell through to a zero-step
+                # range error at b == 0)
+                return {}
+            idx = sel
         elif pc > 1:
             k = max(len(idx) // (bs * pc), 1)
             idx = idx[: k * bs * pc][pi::pc]

@@ -386,3 +386,24 @@ def test_band_edge_labels_exact():
     # n_bands=10 edges keep their single-decimal historical form
     for b in range(10):
         assert _band_edge(b / 10) == f"{b / 10:.1f}"
+
+
+def test_cap_to_full_batches():
+    """Shared cap logic for every partitioned-corpus batch site: None on a
+    zero cap (uniform skip), full-batch repetition below one batch (the
+    loader's drop_last would otherwise discard the sole partial buffer),
+    full-batch truncation above."""
+    from graphgpt_tpu.parallel.mesh import cap_to_full_batches
+
+    idx = np.arange(10)
+    assert cap_to_full_batches(idx, 0, 4) is None
+    # below one batch: repeated up to exactly bs rows
+    out = cap_to_full_batches(idx, 3, 4)
+    assert list(out) == [0, 1, 2, 0]
+    # cyclic repetition keeps adjacent pairs adjacent for an even cap
+    pairs = np.repeat(np.arange(3), 2)  # [0,0,1,1,2,2]
+    out = cap_to_full_batches(pairs, 6, 8)
+    assert list(out) == [0, 0, 1, 1, 2, 2, 0, 0]
+    # above one batch: truncated to a multiple of bs
+    out = cap_to_full_batches(idx, 9, 4)
+    assert list(out) == list(range(8))
