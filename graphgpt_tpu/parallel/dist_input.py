@@ -283,6 +283,18 @@ class EdgePartitionedCorpus:
                 body, mesh=mesh, in_specs=P(axis), out_specs=P(axis)
             )(buf)
 
+        # jnp.asarray silently downcasts int64 -> int32 (x64 disabled):
+        # wrapped ids would scatter corrupted values into halo rows — the
+        # same shard-boundary corruption class the multihost path guards
+        if (
+            np.issubdtype(send.dtype, np.integer)
+            and send.size
+            and int(np.abs(send).max()) > np.iinfo(np.int32).max
+        ):
+            raise ValueError(
+                "halo exchange: integer node attributes exceed int32 range "
+                "— re-encode attribute ids below 2^31"
+            )
         recv = np.asarray(_exchange(jnp.asarray(send)))  # [s, s, cap, F] dst-major
         # recv[d, o] = rows from owner o for dst d; scatter-back vectorised:
         # halo block of global_nodes is sorted, so local index = num_owned +
@@ -336,15 +348,21 @@ class EdgePartitionedCorpus:
         shard = self.shards[me]
         if shard.node_attr is None:
             return
-        # int32-range check BEFORE the first collective: raising after the
-        # allgathers would strand peers inside the all_to_all (each host
-        # checks its own owned rows — the only rows it will ever send)
+        # int32-range check made HOST-UNIFORM before any data collective:
+        # each host checks its own owned rows (the only rows it sends),
+        # then the verdict rides one tiny allgather so either EVERY host
+        # raises or none does — a lone raiser would strand its peers
+        # inside the later collectives forever
         own_rows = shard.node_attr[: shard.num_owned]
-        if (
+        local_bad = int(
             np.issubdtype(own_rows.dtype, np.integer)
             and own_rows.size
             and int(np.abs(own_rows).max()) > np.iinfo(np.int32).max
-        ):
+        )
+        any_bad = multihost_utils.process_allgather(
+            np.asarray([local_bad], np.int64)
+        ).max()
+        if any_bad:
             raise ValueError(
                 "halo exchange: integer node attributes exceed int32 range "
                 "— re-encode attribute ids below 2^31"

@@ -144,7 +144,12 @@ class FinetunePipeline:
             # runs) at the PER-HOST batch size, not the host-local length
             steps_per_epoch = max(self._train_cap // self._per_host_bs, 1)
         else:
-            steps_per_epoch = max(len(self.train_idx) // tcfg.batch_size, 1)
+            # replicated index space: the epoch loop consumes
+            # per_host_bs * pc rows per step (NOT tcfg.batch_size — they
+            # differ when batch_size % process_count != 0, and the
+            # schedule would desync from the real step count)
+            rows_per_step = self._per_host_bs * jax.process_count()
+            steps_per_epoch = max(len(self.train_idx) // rows_per_step, 1)
         epochs = tcfg.schedule.epochs or 10
         self.total_steps = steps_per_epoch * epochs
         if tcfg.schedule.warmup_num_steps:

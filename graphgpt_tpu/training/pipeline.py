@@ -372,21 +372,18 @@ class PretrainPipeline:
                     "per epoch would loop forever)"
                 )
             cap = 2 * self._train_cap if cl_pairs else self._train_cap
-            per = self.loader.batch_size
-            if cap < per:
-                # below one batch: repeat rows to a full batch — drop_last
-                # would discard the sole partial buffer (zero train steps,
-                # infinite epoch loop); cyclic resize keeps CL pairs
-                # adjacent since cap is even in that mode
-                idx = np.resize(idx[:cap], per)
-            else:
-                idx = idx[:cap]
+            sel = mesh_lib.cap_to_full_batches(idx, cap, self.loader.batch_size)
+            idx = sel if sel is not None else idx[:0]
         else:
-            # per-host shard of a replicated index space. Stride BEFORE the
-            # CL repeat: repeat-then-stride hands every host one view of
-            # every pair, mispairing embeds[0::2]/[1::2] in the global
-            # batch (two different samples treated as a positive pair)
-            idx = idx[jax.process_index() :: jax.process_count()]
+            # per-host shard of a replicated index space, truncated to a
+            # multiple of pc FIRST so every host gets the same row count
+            # (a ±1 imbalance shifts epoch boundaries across hosts).
+            # Stride BEFORE the CL repeat: repeat-then-stride hands every
+            # host one view of every pair, mispairing embeds[0::2]/[1::2]
+            # in the global batch (two different samples treated as a
+            # positive pair)
+            pc, pi = jax.process_count(), jax.process_index()
+            idx = idx[: len(idx) - len(idx) % pc][pi::pc]
             if cl_pairs:
                 # two adjacent independent views per sample (reference
                 # get_cl_sampler, loader_utils.py:308-315)
